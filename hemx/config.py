@@ -1,0 +1,190 @@
+"""Configuration / CLI argument system.
+
+Reproduces the reference UX (reference: hem/util/arguments.py:10-179,
+hem/util/misc.py:72-105, train.py:25-37):
+
+* ``@file`` config files with ``key value`` lines and ``#`` comments;
+* three-phase parsing: general args -> dataset-plugin args -> model-plugin
+  args, chained through ``parse_known_args`` with an unknown-arg warning;
+* CLI overrides config file;
+* every run's resolved options are dumped to ``<dir>/options.config``
+  (re-ingestable) plus a JSON twin.
+
+TPU-relevant deltas: ``--n_gpus`` is kept as an alias for ``--n_devices``
+(mesh size); new flags ``--dtype`` (compute dtype) and ``--mesh`` are added.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import uuid
+
+import hemx.utils.terminal as term
+
+
+class CustomArgumentParser(argparse.ArgumentParser):
+    """Parser whose @-files accept `key value` lines and `#` comments
+    (reference: hem/util/misc.py:72-82)."""
+
+    def convert_arg_line_to_args(self, arg_line):
+        line = arg_line.split("#", 1)[0].strip()
+        if not line:
+            return []
+        parts = line.split()
+        if not parts[0].startswith("-"):
+            parts[0] = "--" + parts[0]
+        return parts
+
+
+def build_base_parser() -> CustomArgumentParser:
+    parser = CustomArgumentParser(
+        description="hemx training harness (TPU-native rebuild of hem).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        fromfile_prefix_chars="@",
+        conflict_handler="resolve",
+        epilog="Example: python train.py @path/to/config --dir workspace/run --lr 0.1",
+    )
+
+    misc = parser.add_argument_group("Miscellaneous")
+    misc.add_argument("--seed", type=int, default=None,
+                      help="RNG seed; randomized each run when unset.")
+    misc.add_argument("--n_devices", "--n_gpus", dest="n_devices", type=int, default=0,
+                      help="Devices in the data-parallel mesh (0 = all local devices).")
+    misc.add_argument("--profile", action="store_true", default=False,
+                      help="Capture a jax.profiler trace of the first training steps "
+                           "into <dir>/profile (actually wired, unlike the reference's "
+                           "vestigial flag — train.py:262-265).")
+    misc.add_argument("--check_numerics", action="store_true", default=False,
+                      help="Check gradients for NaN/Inf each step and abort with the "
+                           "offending parameter named (reference: hem/util/training.py:52-53).")
+    misc.add_argument("--model", type=str.lower, default="cnn",
+                      help="Model plugin to train.")
+    misc.add_argument("--examples", type=int, default=64,
+                      help="Number of example images in montage summaries.")
+
+    train = parser.add_argument_group("Training")
+    train.add_argument("--epochs", default="3",
+                       help="Epochs this run: integer for max, or +n for n more from checkpoint.")
+    train.add_argument("--batch_size", type=int, default=256,
+                       help="Batch size per device (global batch = batch_size * n_devices), "
+                            "matching the reference's per-GPU meaning.")
+    train.add_argument("--epoch_size", type=int, default=-1,
+                       help="Iterations per epoch (-1 = full dataset).")
+    train.add_argument("--dir", type=str, default=None,
+                       help="Workspace dir (checkpoints, events, options.config). "
+                            "A populated dir resumes training.")
+    train.add_argument("--max_to_keep", type=int, default=0,
+                       help="Recent checkpoints to keep; 0 keeps all.")
+    train.add_argument("--test_epochs", nargs="*", type=int, default=[],
+                       help="Epochs at which to run the test split.")
+    train.add_argument("--summary_freq", type=int, default=0,
+                       help="Extra in-epoch summaries (0 = reference cadence: "
+                            "10x/epoch first 3 epochs then 3x/epoch).")
+    train.add_argument("--dtype", type=str.lower, default="float32",
+                       choices=["float32", "bfloat16"],
+                       help="Compute dtype for the forward/backward pass "
+                            "(params stay float32).")
+
+    opt = parser.add_argument_group("Optimizer")
+    opt.add_argument("--optimizer", type=str.lower, default="rmsprop")
+    opt.add_argument("--lr", type=float, default=0.001)
+    opt.add_argument("--loss", type=str.lower, default="l1")
+    opt.add_argument("--momentum", type=float, default=0.01)
+    opt.add_argument("--decay", type=float, default=0.9)
+    opt.add_argument("--centered", action="store_true", default=False)
+    opt.add_argument("--beta1", type=float, default=0.9)
+    opt.add_argument("--beta2", type=float, default=0.999)
+
+    data = parser.add_argument_group("Data")
+    data.add_argument("--dataset", type=str.lower, default="floorplan")
+    data.add_argument("--shuffle", action="store_true", default=True)
+    data.add_argument("--buffer_size", type=int, default=10000,
+                      help="Shuffle buffer size (reference: data.py:49).")
+    data.add_argument("--cache_dir", default=None,
+                      help="On-disk cache location; in-memory cache when unset.")
+    data.add_argument("--raw_dataset_dir", default="/tmp")
+    data.add_argument("--dataset_dir", default="datasets")
+    data.add_argument("--n_threads", type=int, default=os.cpu_count() or 1)
+    return parser
+
+
+def parse_args(argv=None, display: bool = False):
+    """Three-phase parse (reference: hem/util/arguments.py:152-171)."""
+    from hemx.data.plugin import get_dataset
+    from hemx.models.plugin import get_model
+
+    parser = build_base_parser()
+    args, leftover = parser.parse_known_args(argv)
+
+    dataset_cls = get_dataset(args.dataset)
+    if dataset_cls is not None:
+        for k, v in dataset_cls.arguments().items():
+            parser.add_argument(k, **v)
+        args, leftover = parser.parse_known_args(leftover, namespace=args)
+
+    model_cls = get_model(args.model)
+    if model_cls is not None:
+        for k, v in model_cls.arguments().items():
+            parser.add_argument(k, **v)
+        args, leftover = parser.parse_known_args(leftover, namespace=args)
+
+    if leftover:
+        term.message(f"WARNING: unknown and unused arguments provided: {leftover}",
+                     format_style=term.WARNING)
+
+    if args.seed is None:
+        args.seed = int.from_bytes(os.urandom(4), "little")
+    random.seed(args.seed)
+
+    if args.dir is None:
+        args.dir = os.path.join("workspace", str(uuid.uuid4()))
+
+    if display:
+        for a in sorted(vars(args)):
+            print(f"    {a} = {getattr(args, a)}")
+    return args
+
+
+def init_working_dir(args) -> str:
+    """Create the workspace and dump resolved options
+    (reference: hem/util/misc.py:96-105, train.py:206-213)."""
+    os.makedirs(args.dir, exist_ok=True)
+    dump_options(args, os.path.join(args.dir, "options.config"))
+    with open(os.path.join(args.dir, "options.json"), "w") as f:
+        json.dump({k: _jsonable(v) for k, v in vars(args).items()}, f, indent=2,
+                  sort_keys=True)
+    return args.dir
+
+
+def dump_options(args, path: str) -> None:
+    with open(path, "w") as f:
+        f.write("# hemx resolved options (re-ingestable with @thisfile)\n")
+        for k in sorted(vars(args)):
+            v = getattr(args, k)
+            if isinstance(v, bool):
+                if v:
+                    f.write(f"{k}\n")
+            elif isinstance(v, (list, tuple)):
+                if v:
+                    f.write(f"{k} {' '.join(str(i) for i in v)}\n")
+            elif v is not None:
+                f.write(f"{k} {v}\n")
+
+
+def load_options(path: str) -> dict:
+    """Read an options.json back into a dict (post-hoc tooling rebuilds the
+    model from this instead of TF meta-graph surgery —
+    reference: paper_metrics.py:54-72)."""
+    with open(path) as f:
+        return json.load(f)
+
+
+def _jsonable(v):
+    if isinstance(v, (str, int, float, bool, type(None))):
+        return v
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(i) for i in v]
+    return str(v)

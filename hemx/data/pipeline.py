@@ -1,0 +1,161 @@
+"""Host-side input pipeline.
+
+Rebuild of the reference's tf.data flow — map(parse) -> cache -> repeat ->
+shuffle(buffer) -> batch (data.py:34-60, hem/util/data.py:73-77) — as plain
+numpy on the host, feeding devices through an async prefetcher.
+
+Deviations (documented):
+* the cache stores *compact* decoded samples (e.g. uint8 images); float
+  normalization runs per-batch (``Split.batch_transform``). Numerics are
+  identical; memory is ~4x smaller than the reference's post-map cache.
+* shuffling permutes the whole epoch (seeded per epoch) instead of a
+  10k-element streaming buffer — a strictly stronger shuffle.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from hemx.data.tfrecord import read_all_records
+
+
+class ArraySource:
+    """In-memory source: dict of equal-length numpy arrays."""
+
+    def __init__(self, arrays: dict[str, np.ndarray]):
+        self.arrays = arrays
+        lengths = {len(v) for v in arrays.values()}
+        assert len(lengths) == 1, "all arrays must share leading dim"
+        self._n = lengths.pop()
+
+    def __len__(self) -> int:
+        return self._n
+
+    def batch(self, idx: np.ndarray) -> dict[str, np.ndarray]:
+        return {k: v[idx] for k, v in self.arrays.items()}
+
+
+class TFRecordSource:
+    """TFRecord-backed source; parses per record and caches compactly.
+
+    ``parse`` maps record bytes -> dict of numpy arrays (one sample).
+    """
+
+    def __init__(self, paths: list[str], parse: Callable[[bytes], dict],
+                 cache: bool = True):
+        self.paths = paths
+        self.parse = parse
+        self._cache_enabled = cache
+        self._records: Optional[list[bytes]] = None
+        self._materialized: Optional[ArraySource] = None
+
+    def _load_records(self) -> list[bytes]:
+        if self._records is None:
+            recs: list[bytes] = []
+            for p in self.paths:
+                recs.extend(read_all_records(p))
+            self._records = recs
+        return self._records
+
+    def _materialize(self) -> ArraySource:
+        if self._materialized is None:
+            samples = [self.parse(r) for r in self._load_records()]
+            if not samples:
+                raise ValueError(f"no records in {self.paths}")
+            arrays = {k: np.stack([s[k] for s in samples])
+                      for k in samples[0]}
+            self._materialized = ArraySource(arrays)
+            if self._cache_enabled:
+                self._records = None  # free raw bytes
+        return self._materialized
+
+    def __len__(self) -> int:
+        return len(self._materialize())
+
+    def batch(self, idx: np.ndarray) -> dict[str, np.ndarray]:
+        return self._materialize().batch(idx)
+
+
+class Split:
+    """One dataset split with reference batching semantics.
+
+    Batch count per epoch = floor(count / global_batch) (drop remainder,
+    matching tf.data batch + the reference's iterations-per-epoch math).
+    """
+
+    def __init__(self, source, *, batch_transform: Optional[Callable] = None,
+                 name: str = "train"):
+        self.source = source
+        self.batch_transform = batch_transform
+        self.name = name
+
+    @property
+    def count(self) -> int:
+        return len(self.source)
+
+    def batches_per_epoch(self, global_batch: int) -> int:
+        return self.count // global_batch
+
+    def iter_epoch(self, global_batch: int, *, shuffle: bool = True,
+                   seed: int = 0, epoch: int = 0) -> Iterator[dict]:
+        n = self.count
+        nb = n // global_batch
+        if shuffle:
+            rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        for b in range(nb):
+            idx = order[b * global_batch:(b + 1) * global_batch]
+            batch = self.source.batch(idx)
+            if self.batch_transform is not None:
+                batch = self.batch_transform(batch)
+            yield batch
+
+
+class Pipeline:
+    """Background-threaded prefetch of host batches onto devices.
+
+    Two-deep by default: while the device runs step N, the host assembles and
+    transfers batch N+1 (replaces tf.data's prefetching; SURVEY.md §2.9 item 9).
+    """
+
+    def __init__(self, split: Split, global_batch: int, *, shuffle: bool = True,
+                 seed: int = 0, place: Optional[Callable] = None, depth: int = 2):
+        self.split = split
+        self.global_batch = global_batch
+        self.shuffle = shuffle
+        self.seed = seed
+        self.place = place or (lambda x: x)
+        self.depth = depth
+
+    def epoch(self, epoch: int) -> Iterator[dict]:
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        err: list[BaseException] = []
+
+        def worker():
+            try:
+                for batch in self.split.iter_epoch(
+                        self.global_batch, shuffle=self.shuffle,
+                        seed=self.seed, epoch=epoch):
+                    q.put(self.place(batch))
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

@@ -1,0 +1,65 @@
+"""Synthetic in-memory dataset for tests and benchmarks.
+
+Not in the reference; exists so every model can be exercised end-to-end with
+no downloads (the reference's datasets all require network or manual prep).
+Produces deterministic pseudo-images in [0,1] plus a synthetic depth channel
+so image->depth models (the NYUv2 consumers) run too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hemx.data.pipeline import ArraySource, Split
+from hemx.data.plugin import DataPlugin
+
+
+def _make_images(n: int, h: int, w: int, c: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    # smooth blobs rather than white noise so conv nets have structure to fit
+    base = rng.normal(size=(n, h // 4 or 1, w // 4 or 1, c)).astype(np.float32)
+    up = np.repeat(np.repeat(base, 4, axis=1), 4, axis=2)[:, :h, :w, :]
+    lo = up.min(axis=(1, 2, 3), keepdims=True)
+    hi = up.max(axis=(1, 2, 3), keepdims=True)
+    return (up - lo) / np.maximum(hi - lo, 1e-6)
+
+
+class SyntheticDataset(DataPlugin):
+    name = "synthetic"
+
+    @staticmethod
+    def arguments() -> dict:
+        return {
+            "--synthetic_count": dict(type=int, default=1024,
+                                      help="Samples per split."),
+            "--synthetic_shape": dict(type=int, nargs=3, default=[64, 64, 3],
+                                      help="H W C of generated images."),
+        }
+
+    @staticmethod
+    def check_prepared_datasets(storage_dir: str) -> bool:
+        return True  # generated on the fly
+
+    @staticmethod
+    def check_raw_datasets(storage_dir: str) -> bool:
+        return True
+
+    @staticmethod
+    def download(download_dir: str) -> bool:
+        return True
+
+    @staticmethod
+    def convert_to_tfrecord(download_dir: str, storage_dir: str) -> None:
+        pass
+
+    @classmethod
+    def get_datasets(cls, args) -> dict:
+        n = getattr(args, "synthetic_count", 1024)
+        h, w, c = getattr(args, "synthetic_shape", [64, 64, 3])
+        splits = {}
+        for i, split in enumerate(("train", "validate", "test")):
+            images = _make_images(n, h, w, c, seed=args.seed + i)
+            depth = images.mean(axis=3, keepdims=True) * 0.9 + 0.05
+            src = ArraySource({"image": images, "depth": depth})
+            splits[split] = Split(src, name=split)
+        return splits

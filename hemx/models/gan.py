@@ -1,0 +1,314 @@
+"""GAN / WGAN / IWGAN (reference: models/gan.py — one file, three regimes
+selected by model name, models/gan.py:84-89,192-205).
+
+Parity notes:
+* input rescaled [0,1] -> [-1,1] (models/gan.py:49-50);
+* G: dense(latent -> 4*4*4L) + stride-2 5x5 deconv chain (BN+relu) ending
+  tanh/no-BN (models/gan.py:234-254). The reference hardcodes four deconvs
+  (4 -> 64 px); hemx derives the stage count from the image size so 32x32
+  CIFAR runs natively (at 64x64 the architecture is identical);
+* D: three stride-2 5x5 convs (first without BN; no BN at all for IWGAN,
+  models/gan.py:274) then dense -> scalar; sigmoid only for vanilla GAN.
+  Deviation: the reference reshapes D's conv output to a hardcoded
+  [-1, 4*4*4L] (models/gan.py:280), which at 64x64 input silently splits
+  each 8x8 feature map into four pseudo-samples; hemx flattens the true
+  feature size (documented deviation — same behavior at 32x32 input);
+* losses: log-loss / Wasserstein / Wasserstein+GP lambda=10
+  (models/gan.py:192-231). The gradient penalty keeps the reference's
+  whole-batch norm quirk by default (see hemx.ops.losses.gradient_penalty);
+* training (models/gan.py:110-175): 'gan' runs D and G updates from ONE
+  batch and one z in a single fused step (the reference's single sess.run of
+  both train ops); 'wgan'/'iwgan' run n_disc_train critic steps, each pulling
+  a FRESH batch, then one generator step on another fresh batch;
+* WGAN clips D and G weights to +-0.01; hemx clips after the optimizer apply
+  (the reference's control-dependency ordering was ambiguous; documented);
+* step counter: +1 per train() call (v2 semantics, SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hemx.core import Ctx, sequential
+from hemx.models import common
+from hemx.models.plugin import ModelPlugin
+from hemx.ops.activations import lrelu
+from hemx.ops.layers import conv2d, deconv2d, dense, flatten
+from hemx.ops import losses as L
+from hemx.parallel.dp import jit_step
+from hemx.train.optimizers import clip_params, init_optimizer
+
+
+class GanModel(ModelPlugin):
+    name = "gan"
+    model_type = "gan"
+
+    @staticmethod
+    def arguments() -> dict:
+        return {
+            "--latent_size": dict(type=int, default=200),
+            "--n_disc_train": dict(type=int, default=5,
+                                   help="Critic steps per generator step "
+                                        "(WGAN/IWGAN; reference train.py:106)."),
+        }
+
+    def __init__(self, args, mesh):
+        super().__init__(args, mesh)
+        self.g_optimizer = init_optimizer(args)
+        self.d_optimizer = init_optimizer(args)
+
+    # -- networks -------------------------------------------------------------
+    def _build(self, in_shape):
+        n, h, w, c = in_shape
+        latent = self.args.latent_size
+        if h != w or h % 4 != 0 or (h // 4) & (h // 4 - 1):
+            raise ValueError(f"GAN requires square images with H/4 a power of 2; got {h}x{w}")
+        n_up = int(math.log2(h // 4))
+        use_d_bn = self.model_type != "iwgan"
+        final_sigmoid = self.model_type == "gan"
+
+        # generator: 4x4 seed, halving channels each upsample, last layer tanh
+        g_layers = [dense(4 * 4 * 4 * latent, use_batch_norm=True,
+                          activation=jax.nn.relu, name="fc1"),
+                    common.unflatten(4, 4, 4 * latent)]
+        ch = 4 * latent
+        for i in range(n_up - 1):
+            ch //= 2
+            g_layers.append(deconv2d(ch, 5, 2, use_batch_norm=True,
+                                     activation=jax.nn.relu, name=f"dc{i+1}"))
+        g_layers.append(deconv2d(c, 5, 2, activation=jnp.tanh, name=f"dc{n_up}"))
+        generator = sequential(*g_layers, name="generator")
+
+        d_layers = [conv2d(latent, 5, 2, activation=lrelu, name="c1")]
+        d_layers.append(conv2d(latent * 2, 5, 2, use_batch_norm=use_d_bn,
+                               activation=lrelu, name="c2"))
+        d_layers.append(conv2d(latent * 4, 5, 2, use_batch_norm=use_d_bn,
+                               activation=lrelu, name="c3"))
+        d_layers.append(flatten())
+        d_layers.append(dense(1, activation=jax.nn.sigmoid if final_sigmoid else None,
+                              name="fc2"))
+        discriminator = sequential(*d_layers, name="discriminator")
+        return {"generator": generator, "discriminator": discriminator}
+
+    # -- forward helpers ------------------------------------------------------
+    def _g_forward(self, params, mstate, z, ctx):
+        g, ms = self._nets["generator"].apply(params["generator"],
+                                              mstate["generator"], z, ctx)
+        return g, ms
+
+    def _d_forward(self, params, mstate, x, ctx):
+        d, ms = self._nets["discriminator"].apply(params["discriminator"],
+                                                  mstate["discriminator"], x, ctx)
+        return d.reshape(-1), ms
+
+    def _losses(self, d_real, d_fake):
+        if self.model_type == "gan":
+            return L.gan_g_loss(d_fake), L.gan_d_loss(d_real, d_fake)
+        return L.wgan_g_loss(d_fake), L.wgan_d_loss(d_real, d_fake)
+
+    # -- plugin API -----------------------------------------------------------
+    def init_state(self, rng, sample_batch) -> dict:
+        x = np.asarray(sample_batch["image"])
+        self._image_shape = x.shape[1:]
+        self._nets = self._build(x.shape)
+        kg, kd = jax.random.split(rng)
+        latent = self.args.latent_size
+        gp, gs, gout = self._nets["generator"].init(kg, (x.shape[0], latent))
+        dp, ds, _ = self._nets["discriminator"].init(kd, x.shape)
+        params = {"generator": gp, "discriminator": dp}
+        mstate = {"generator": gs, "discriminator": ds}
+        opt = {"g": self.g_optimizer.init(gp), "d": self.d_optimizer.init(dp)}
+        self._compile()
+        return common.new_train_state(params, mstate, opt, self.args.seed)
+
+    def _compile(self):
+        latent = self.args.latent_size
+        model_type = self.model_type
+        check = self.args.check_numerics
+
+        def sample_z(rng, n):
+            return jax.random.normal(rng, (n, latent))
+
+        def fused_gan_step(ts, batch):
+            """Vanilla GAN: D and G updates from one batch + one z
+            (reference: models/gan.py:110-131 single sess.run)."""
+            x = 2.0 * (batch["image"] - 0.5)
+            rng = common.step_rng(ts)
+            z = sample_z(rng, x.shape[0])
+            ctx = lambda: Ctx(training=True, rng=rng)
+
+            def d_loss_fn(dp):
+                params = {**ts["params"], "discriminator": dp}
+                g, _ = self._g_forward(params, ts["mstate"], z, ctx())
+                d_real, ms1 = self._d_forward(params, ts["mstate"], x, ctx())
+                d_fake, ms2 = self._d_forward(
+                    params, {**ts["mstate"], "discriminator": ms1}, g, ctx())
+                _, d_loss = self._losses(d_real, d_fake)
+                return d_loss, ms2
+
+            def g_loss_fn(gp):
+                params = {**ts["params"], "generator": gp}
+                g, ms_g = self._g_forward(params, ts["mstate"], z, ctx())
+                d_fake, _ = self._d_forward(params, ts["mstate"], g, ctx())
+                return L.gan_g_loss(d_fake), ms_g
+
+            (d_loss, ms_d), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                ts["params"]["discriminator"])
+            (g_loss, ms_g), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                ts["params"]["generator"])
+            new_d, new_opt_d = common.apply_updates_group(
+                self.d_optimizer, d_grads, ts["opt"]["d"], ts["params"]["discriminator"])
+            new_g, new_opt_g = common.apply_updates_group(
+                self.g_optimizer, g_grads, ts["opt"]["g"], ts["params"]["generator"])
+            metrics = {"g_loss": g_loss, "d_loss": d_loss}
+            if check:
+                metrics["grad_finite"] = common.grad_finite_report(
+                    {"g": g_grads, "d": d_grads})
+            new_ts = {**ts,
+                      "params": {"generator": new_g, "discriminator": new_d},
+                      "mstate": {"generator": ms_g, "discriminator": ms_d},
+                      "opt": {"g": new_opt_g, "d": new_opt_d},
+                      "step": ts["step"] + 1}
+            return new_ts, metrics
+
+        def d_step(ts, batch):
+            """One critic update on a fresh batch (WGAN/IWGAN)."""
+            x = 2.0 * (batch["image"] - 0.5)
+            rng = common.step_rng(ts)
+            rng, zk, ak = jax.random.split(rng, 3)
+            z = sample_z(zk, x.shape[0])
+
+            def d_loss_fn(dp):
+                params = {**ts["params"], "discriminator": dp}
+                ctx_g = Ctx(training=True, rng=rng)
+                g, _ = self._g_forward(params, ts["mstate"], z, ctx_g)
+                d_real, ms1 = self._d_forward(params, ts["mstate"], x,
+                                              Ctx(training=True, rng=rng))
+                d_fake, ms2 = self._d_forward(
+                    params, {**ts["mstate"], "discriminator": ms1}, g,
+                    Ctx(training=True, rng=rng))
+                _, d_loss = self._losses(d_real, d_fake)
+                if model_type == "iwgan":
+                    alpha = jax.random.uniform(ak, (x.shape[0], 1))
+
+                    def d_apply(imgs):
+                        scores, _ = self._d_forward(params, ts["mstate"], imgs,
+                                                    Ctx(training=True, rng=rng))
+                        return scores
+
+                    gp = L.gradient_penalty(d_apply, x, g, alpha)
+                    d_loss = d_loss + 10.0 * gp
+                return d_loss, ms2
+
+            (d_loss, ms_d), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                ts["params"]["discriminator"])
+            new_d, new_opt_d = common.apply_updates_group(
+                self.d_optimizer, d_grads, ts["opt"]["d"], ts["params"]["discriminator"])
+            if model_type == "wgan":
+                new_d = clip_params(new_d, 0.01)
+            metrics = {"d_loss": d_loss}
+            if check:
+                metrics["grad_finite"] = common.grad_finite_report({"d": d_grads})
+            new_ts = {**ts,
+                      "params": {**ts["params"], "discriminator": new_d},
+                      "mstate": {**ts["mstate"], "discriminator": ms_d},
+                      "opt": {**ts["opt"], "d": new_opt_d},
+                      "step": ts["step"]}
+            return new_ts, metrics
+
+        def g_step(ts, batch):
+            """One generator update on a fresh batch (WGAN/IWGAN)."""
+            x = 2.0 * (batch["image"] - 0.5)  # only used for d_loss reporting
+            rng = common.step_rng(ts)
+            rng, zk = jax.random.split(rng)
+            z = sample_z(zk, x.shape[0])
+
+            def g_loss_fn(gp_):
+                params = {**ts["params"], "generator": gp_}
+                g, ms_g = self._g_forward(params, ts["mstate"], z,
+                                          Ctx(training=True, rng=rng))
+                d_fake, _ = self._d_forward(params, ts["mstate"], g,
+                                            Ctx(training=True, rng=rng))
+                g_loss = (L.gan_g_loss(d_fake) if model_type == "gan"
+                          else L.wgan_g_loss(d_fake))
+                return g_loss, (ms_g, d_fake)
+
+            (g_loss, (ms_g, d_fake)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(ts["params"]["generator"])
+            d_real, _ = self._d_forward(ts["params"], ts["mstate"], x,
+                                        Ctx(training=True, rng=rng))
+            _, d_loss = self._losses(d_real, d_fake)
+            new_g, new_opt_g = common.apply_updates_group(
+                self.g_optimizer, g_grads, ts["opt"]["g"], ts["params"]["generator"])
+            if model_type == "wgan":
+                new_g = clip_params(new_g, 0.01)
+            metrics = {"g_loss": g_loss, "d_loss": d_loss}
+            if check:
+                metrics["grad_finite"] = common.grad_finite_report({"g": g_grads})
+            new_ts = {**ts,
+                      "params": {**ts["params"], "generator": new_g},
+                      "mstate": {**ts["mstate"], "generator": ms_g},
+                      "opt": {**ts["opt"], "g": new_opt_g},
+                      "step": ts["step"] + 1}
+            return new_ts, metrics
+
+        def eval_step(ts, batch):
+            x = 2.0 * (batch["image"] - 0.5)
+            rng = common.step_rng(ts)
+            z = sample_z(rng, x.shape[0])
+            g, _ = self._g_forward(ts["params"], ts["mstate"], z,
+                                   Ctx(training=True, rng=rng))
+            d_real, _ = self._d_forward(ts["params"], ts["mstate"], x,
+                                        Ctx(training=True, rng=rng))
+            d_fake, _ = self._d_forward(ts["params"], ts["mstate"], g,
+                                        Ctx(training=True, rng=rng))
+            g_loss, d_loss = self._losses(d_real, d_fake)
+            return {"g_loss": g_loss, "d_loss": d_loss}
+
+        def sample(ts, rng, n):
+            z = sample_z(rng, n)
+            g, _ = self._g_forward(ts["params"], ts["mstate"], z,
+                                   Ctx(training=True, rng=rng))
+            return (g + 1.0) / 2.0
+
+        self._jit_fused = jit_step(fused_gan_step, self.mesh)
+        self._jit_d = jit_step(d_step, self.mesh)
+        self._jit_g = jit_step(g_step, self.mesh)
+        self._jit_eval = jit_step(eval_step, self.mesh, donate_argnums=())
+        self._sample = jax.jit(sample, static_argnums=(2,))
+
+    def train(self, ts, stream):
+        if self.model_type == "gan":
+            return self._jit_fused(ts, next(stream))
+        for _ in range(self.args.n_disc_train):
+            ts, d_metrics = self._jit_d(ts, next(stream))
+        ts, metrics = self._jit_g(ts, next(stream))
+        return ts, metrics
+
+    def eval_losses(self, ts, batch) -> dict:
+        return self._jit_eval(ts, batch)
+
+    def write_summaries(self, writer, step, ts, batch) -> None:
+        n = min(self.args.examples, batch["image"].shape[0])
+        x = np.asarray(jax.device_get(batch["image"]))[:n]
+        fake = np.asarray(jax.device_get(
+            self._sample(ts, jax.random.fold_in(ts["rng"], step), n)))
+        writer.montage("examples/inputs", np.clip(x, 0, 1), step)
+        writer.montage("examples/fake", np.clip(fake, 0, 1), step)
+        writer.histogram("examples/fakes_hist", fake, step)
+        writer.histogram("examples/real_hist", x, step)
+
+
+class WganModel(GanModel):
+    name = "wgan"
+    model_type = "wgan"
+
+
+class IwganModel(GanModel):
+    name = "iwgan"
+    model_type = "iwgan"
+

@@ -1,0 +1,87 @@
+"""Model plugin base + registry (reference: hem/models/ModelPlugin.py:4-38,
+discovery shared with data plugins via hem/util/data.py:11-35).
+
+A hemx model plugin is constructed as ``Model(args, mesh)`` (the reference's
+``__init__(x, args)`` built a TF graph; here construction compiles jitted
+steps and records shapes), then:
+
+* ``init_state(rng, sample_batch) -> train_state`` (dict pytree);
+* ``train(train_state, stream) -> (train_state, losses)`` — may pull several
+  batches from ``stream`` (e.g. WGAN's n_disc_train loop pulls one fresh
+  batch per critic step, exactly like the reference's repeated sess.run,
+  models/gan.py:158-175);
+* ``eval_losses(train_state, batch) -> dict`` for validation/test;
+* ``write_summaries(writer, step, train_state, batch)`` host-side.
+"""
+
+from __future__ import annotations
+
+import importlib
+import pkgutil
+from typing import Optional
+
+from hemx.utils import terminal as term
+
+_REGISTRY: dict[str, type] = {}
+_SCANNED = False
+_NON_PLUGIN_MODULES = {"plugin", "common", "networks"}
+
+
+class ModelPlugin:
+    name: str = ""
+
+    @staticmethod
+    def arguments() -> dict:
+        return {}
+
+    def __init__(self, args, mesh):
+        self.args = args
+        self.mesh = mesh
+
+    def init_state(self, rng, sample_batch) -> dict:
+        raise NotImplementedError
+
+    def train(self, train_state, stream):
+        raise NotImplementedError
+
+    def eval_losses(self, train_state, batch) -> dict:
+        raise NotImplementedError
+
+    def write_summaries(self, writer, step, train_state, batch) -> None:
+        pass
+
+
+def _scan() -> None:
+    global _SCANNED
+    if _SCANNED:
+        return
+    import hemx.models as pkg
+    for modinfo in pkgutil.iter_modules(pkg.__path__):
+        if modinfo.name.startswith("_") or modinfo.name in _NON_PLUGIN_MODULES:
+            continue
+        try:
+            mod = importlib.import_module(f"hemx.models.{modinfo.name}")
+        except Exception as e:
+            term.message(f"WARNING: failed to import model plugin "
+                         f"hemx.models.{modinfo.name}: {e}", term.WARNING)
+            continue
+        for obj in vars(mod).values():
+            if (isinstance(obj, type) and obj is not ModelPlugin
+                    and ModelPlugin in obj.__mro__[1:] and obj.name):
+                _REGISTRY[obj.name] = obj
+    _SCANNED = True
+
+
+def register(cls: type) -> type:
+    _REGISTRY[cls.name] = cls
+    return cls
+
+
+def get_model(name: str) -> Optional[type]:
+    _scan()
+    return _REGISTRY.get(name)
+
+
+def available_models() -> list[str]:
+    _scan()
+    return sorted(_REGISTRY)

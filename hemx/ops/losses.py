@@ -1,0 +1,102 @@
+"""Loss functions (reference: hem/ops/losses.py, models/*.py loss definitions)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rmse(a, b):
+    """Root mean squared error (reference: hem/ops/losses.py:10-11)."""
+    return jnp.sqrt(jnp.mean((a - b) ** 2))
+
+
+def rmse_scale_invariant(a, b, lam: float = 0.5):
+    """Scale-invariant RMSE in log space, Eigen et al. 2014
+    (reference: hem/ops/losses.py:14-16)."""
+    d = jnp.log(a + 1e-8) - jnp.log(b + 1e-8)
+    n = d.size
+    return jnp.sqrt(jnp.mean(d ** 2) - lam * (jnp.sum(d) ** 2) / (n ** 2))
+
+
+def l1_loss(x, y):
+    """Mean absolute error (reference: models/cnn.py:75-79)."""
+    return jnp.mean(jnp.abs(x - y))
+
+
+def l2_loss(x, y):
+    return jnp.mean((x - y) ** 2)
+
+
+def bernoulli_recon_loss(x, x_hat, eps: float = 1e-8):
+    """Sum-reduced Bernoulli reconstruction loss (reference: models/vae.py:75-79).
+
+    Sum reduction is kept deliberately so loss magnitudes match
+    examples/examples.org (see BASELINE.md row 4).
+    """
+    ll = x * jnp.log(eps + x_hat) + (1.0 - x) * jnp.log(eps + 1.0 - x_hat)
+    return -jnp.sum(ll)
+
+
+def kl_gaussian_loss(z_mean, z_stddev, eps: float = 1e-8):
+    """Sum-reduced KL(q||N(0,1)) in the reference's stddev-head
+    parameterization (reference: models/vae.py:81-83)."""
+    term = jnp.square(z_mean) + jnp.square(z_stddev) \
+        - jnp.log(eps + jnp.square(z_stddev)) - 1.0
+    return 0.5 * jnp.sum(term)
+
+
+def gan_g_loss(d_fake, eps: float = 1e-8):
+    """Non-saturating generator loss -E[log D(G(z))] over sigmoid outputs
+    (reference: models/gan.py:195)."""
+    return jnp.mean(-jnp.log(d_fake + eps))
+
+
+def gan_d_loss(d_real, d_fake, eps: float = 1e-8):
+    """Discriminator log loss (reference: models/gan.py:196)."""
+    return jnp.mean(-jnp.log(d_real + eps) - jnp.log(1.0 - d_fake + eps))
+
+
+def wgan_g_loss(d_fake):
+    """Wasserstein generator loss (reference: models/gan.py:198)."""
+    return -jnp.mean(d_fake)
+
+
+def wgan_d_loss(d_real, d_fake):
+    """Wasserstein critic loss (reference: models/gan.py:199)."""
+    return jnp.mean(d_fake) - jnp.mean(d_real)
+
+
+def sigmoid_xent(logits, labels):
+    """tf.nn.sigmoid_cross_entropy_with_logits equivalent (v2 GAN losses,
+    e.g. hem/models/improved_sampler.py loss paths)."""
+    return jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def gradient_penalty(d_apply, x_real, x_fake, alpha, *, per_sample: bool = False):
+    """IWGAN gradient penalty (reference: models/gan.py:214-231).
+
+    The reference computes ``slopes = sqrt(sum(grad**2))`` over the WHOLE
+    batch (no per-sample axis — models/gan.py:229), which is arguably a bug
+    but is reproduced by default for parity. ``per_sample=True`` gives the
+    corrected per-sample norm from the IWGAN paper.
+
+    Args:
+      d_apply: callable image-batch -> critic scores (closed over params).
+      x_real, x_fake: (B, ...) batches.
+      alpha: (B, 1) or broadcastable uniform interpolation coefficients.
+    """
+    flat_real = x_real.reshape(x_real.shape[0], -1)
+    flat_fake = x_fake.reshape(x_fake.shape[0], -1)
+    interp = flat_real + alpha * (flat_fake - flat_real)
+    interp = interp.reshape(x_real.shape)
+
+    def d_sum(z):
+        return jnp.sum(d_apply(z))
+
+    grads = jax.grad(d_sum)(interp)
+    if per_sample:
+        slopes = jnp.sqrt(jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, axis=1))
+    else:
+        slopes = jnp.sqrt(jnp.sum(grads ** 2))
+    return jnp.mean((slopes - 1.0) ** 2)

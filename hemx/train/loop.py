@@ -1,0 +1,181 @@
+"""Training loop (reference: hem/util/training.py:98-175, train.py:254-329).
+
+Semantics reproduced:
+* ``--epochs n`` trains to epoch n; ``--epochs +n`` trains n more from the
+  restored epoch (hem/util/training.py:115);
+* baseline checkpoint + summary at step 0 before any training
+  (hem/util/training.py:126-130);
+* summary cadence: 10x/epoch for the first 3 epochs, then 3x/epoch, plus one
+  at each epoch end (hem/util/training.py:143-150);
+* one checkpoint per epoch keyed by the epoch counter
+  (hem/util/training.py:162);
+* validation after every epoch; test at --test_epochs
+  (hem/util/training.py:164-169);
+* on NaN/Inf with --check_numerics the process exits nonzero so an outer
+  restart loop (repeat.sh) can resume from the last checkpoint.
+
+The data stream is continuous across epochs (the reference's tf.data
+``repeat()``): models may pull several batches per train() call (WGAN's
+critic loop), so an "epoch" is a fixed number of train() calls, not a fixed
+number of pipeline batches — exactly the reference's accounting.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import jax
+import numpy as np
+
+from hemx.config import init_working_dir
+from hemx.models import common
+from hemx.parallel.dp import shard_batch
+from hemx.data.pipeline import Pipeline
+from hemx.summaries.events import SummaryWriterSet
+from hemx.train.checkpoint import CheckpointManager
+from hemx.utils import terminal as term
+from hemx.utils.terminal import MovingAverage
+
+try:
+    from tqdm import tqdm
+except ImportError:  # pragma: no cover
+    tqdm = None
+
+
+def _continuous_stream(pipeline: Pipeline, start_epoch: int = 0):
+    e = start_epoch
+    while True:
+        yield from pipeline.epoch(e)
+        e += 1
+
+
+def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
+    """Train ``model`` on ``splits`` per ``args``. Returns the final train state
+    wrapper {"train_state", "epoch"}."""
+    init_working_dir(args)
+    ckpt = CheckpointManager(args.dir, args.max_to_keep)
+    writers = SummaryWriterSet(args.dir)
+    global_batch = args.batch_size * mesh.size
+    place = partial(shard_batch, mesh=mesh)
+
+    train_split = splits["train"]
+    batches = train_split.batches_per_epoch(global_batch)
+    if args.epoch_size > 0:
+        batches = min(batches, args.epoch_size)
+    if batches == 0:
+        raise ValueError(f"dataset ({train_split.count}) smaller than one "
+                         f"global batch ({global_batch})")
+
+    pipeline = Pipeline(train_split, global_batch, shuffle=args.shuffle,
+                        seed=args.seed, place=place)
+
+    # shapes + init
+    host_batch = next(train_split.iter_epoch(global_batch, shuffle=False))
+    summary_batch = place(host_batch)
+    ts = model.init_state(jax.random.PRNGKey(args.seed), host_batch)
+
+    current_epoch = 0
+    latest = ckpt.latest()
+    if latest and not reset:
+        wrapper = ckpt.restore({"train_state": ts, "epoch": np.int64(0)}, latest)
+        ts = wrapper["train_state"]
+        current_epoch = int(wrapper["epoch"])
+        term.message(f"Resumed from {latest} (epoch {current_epoch})")
+
+    epochs = str(args.epochs)
+    max_epochs = (current_epoch + int(epochs[1:]) if epochs.startswith("+")
+                  else int(epochs))
+
+    stream = _continuous_stream(pipeline, current_epoch)
+
+    def write_train_summary(step: int, metrics: dict | None = None) -> None:
+        w = writers["train"]
+        if metrics:
+            w.scalars({f"losses/{k}": v for k, v in metrics.items()
+                       if k != "grad_finite"}, step)
+        model.write_summaries(w, step, ts, summary_batch)
+
+    if int(jax.device_get(ts["step"])) == 0 and current_epoch == 0:
+        term.message("Generating baseline summaries and checkpoint...")
+        ckpt.save({"train_state": ts, "epoch": np.int64(0)}, 0)
+        write_train_summary(0)
+
+    profiling = False
+    if args.profile:
+        profile_dir = os.path.join(args.dir, "profile")
+        os.makedirs(profile_dir, exist_ok=True)
+
+    term.message("Starting training...")
+    start_time = time.time()
+    for epoch in range(current_epoch, max_epochs):
+        iterator = range(batches)
+        if tqdm is not None:
+            iterator = tqdm(iterator, desc=f"Epoch {epoch + 1:3d}", unit="batch",
+                            leave=False)
+        avg = MovingAverage()
+        cadence = max(batches // (10 if epoch < 3 else 3), 1)
+        for i in iterator:
+            if args.profile and epoch == current_epoch and i == 10 and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            ts, metrics = model.train(ts, stream)
+            if args.profile and profiling and i == 20:
+                jax.block_until_ready(ts["step"])
+                jax.profiler.stop_trace()
+                profiling = False
+            host = common.host_scalars(metrics)
+            if args.check_numerics:
+                common.raise_on_bad_grads(host)
+            running = avg.update({k: v for k, v in host.items()
+                                  if k != "grad_finite"})
+            if tqdm is not None:
+                iterator.set_postfix({k: f"{v:.4g}" for k, v in running.items()})
+            if i % cadence == 0:
+                write_train_summary(int(jax.device_get(ts["step"])), host)
+
+        step = int(jax.device_get(ts["step"]))
+        write_train_summary(step, running)
+        ckpt.save({"train_state": ts, "epoch": np.int64(epoch + 1)}, epoch + 1)
+        if "validate" in splits:
+            inference(model, ts, splits["validate"], args, mesh,
+                      writers["validate"], step, label="Validation")
+        if (epoch + 1) in (args.test_epochs or []) and "test" in splits:
+            inference(model, ts, splits["test"], args, mesh,
+                      writers["test"], step, label="Test")
+
+    if (args.test_epochs == [] and "test" in splits and max_epochs > current_epoch):
+        # reference runs test at end of training when --test_epochs is empty
+        step = int(jax.device_get(ts["step"]))
+        inference(model, ts, splits["test"], args, mesh, writers["test"],
+                  step, label="Test")
+
+    elapsed = int(time.time() - start_time)
+    term.message(f"\nTraining complete! Elapsed time: {elapsed}s")
+    writers.close()
+    return {"train_state": ts, "epoch": max_epochs}
+
+
+def inference(model, ts, split, args, mesh, writer, step: int, *,
+              label: str = "Validation", max_batches: int | None = None) -> dict:
+    """Average eval losses over a split and write one summary
+    (reference: hem/util/misc.py:85-93)."""
+    global_batch = args.batch_size * mesh.size
+    place = partial(shard_batch, mesh=mesh)
+    n = split.batches_per_epoch(global_batch)
+    if max_batches:
+        n = min(n, max_batches)
+    avg = MovingAverage()
+    running: dict = {}
+    for batch in split.iter_epoch(global_batch, shuffle=False):
+        losses = common.host_scalars(model.eval_losses(ts, place(batch)))
+        running = avg.update(losses)
+        n -= 1
+        if n <= 0:
+            break
+    if running:
+        writer.scalars({f"losses/{k}": v for k, v in running.items()}, step)
+        term.message(f"{label}: " + ", ".join(f"{k}={v:.5g}"
+                                              for k, v in running.items()))
+    return running

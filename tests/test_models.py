@@ -1,0 +1,186 @@
+"""End-to-end model tests on synthetic data over the forced 8-device CPU mesh
+(SURVEY.md §4 rebuild implications: smoke-train each model, assert loss falls,
+checkpoint round-trips, and DP == single-device grads)."""
+
+import numpy as np
+import pytest
+import jax
+
+from tests.conftest import make_args
+
+from hemx.data.synthetic import SyntheticDataset
+from hemx.models.plugin import available_models, get_model
+from hemx.parallel.mesh import make_mesh
+from hemx.parallel.dp import shard_batch
+
+
+def _setup(model_name, n_devices=0, **overrides):
+    args = make_args(model=model_name, **overrides)
+    mesh = make_mesh(n_devices)
+    splits = SyntheticDataset.get_datasets(args)
+    model = get_model(model_name)(args, mesh)
+    global_batch = args.batch_size * mesh.size
+    host_batch = next(splits["train"].iter_epoch(global_batch, shuffle=False))
+    ts = model.init_state(jax.random.PRNGKey(0), host_batch)
+    return args, mesh, splits, model, ts, global_batch
+
+
+def _stream(splits, global_batch, mesh, seed=0):
+    def gen():
+        e = 0
+        while True:
+            for b in splits["train"].iter_epoch(global_batch, shuffle=True,
+                                                seed=seed, epoch=e):
+                yield shard_batch(b, mesh)
+            e += 1
+    return gen()
+
+
+class TestRegistry:
+    def test_v1_models_registered(self):
+        names = available_models()
+        for expected in ("cnn", "vae", "gan", "wgan", "iwgan"):
+            assert expected in names
+
+    def test_dataset_registry(self):
+        from hemx.data.plugin import available_datasets
+        names = available_datasets()
+        assert "synthetic" in names
+        assert "mnist" in names
+
+
+class TestCnn:
+    def test_loss_decreases(self):
+        args, mesh, splits, model, ts, gb = _setup("cnn", batch_size=4, lr=1e-3)
+        stream = _stream(splits, gb, mesh)
+        first = None
+        for i in range(12):
+            ts, metrics = model.train(ts, stream)
+            loss = float(jax.device_get(metrics["loss"]))
+            if first is None:
+                first = loss
+        assert loss < first, f"loss did not fall: {first} -> {loss}"
+
+    def test_eval_and_summaries(self, tmp_path):
+        args, mesh, splits, model, ts, gb = _setup("cnn", batch_size=4)
+        batch = shard_batch(next(splits["validate"].iter_epoch(gb, shuffle=False)),
+                            mesh)
+        losses = model.eval_losses(ts, batch)
+        assert "loss" in losses
+        from hemx.summaries.events import EventsWriter
+        w = EventsWriter(str(tmp_path))
+        model.write_summaries(w, 0, ts, batch)
+        w.close()
+
+
+class TestVae:
+    def test_losses_present_and_finite(self):
+        args, mesh, splits, model, ts, gb = _setup("vae", batch_size=4, lr=1e-4)
+        stream = _stream(splits, gb, mesh)
+        for _ in range(3):
+            ts, metrics = model.train(ts, stream)
+        for k in ("d_loss", "l_loss", "total_loss"):
+            assert np.isfinite(float(jax.device_get(metrics[k]))), k
+
+    def test_sum_reduction_scale(self):
+        # sum-reduced Bernoulli recon on a 32x32x3 batch of 32 must be huge
+        # (reference parity: examples.org VAE total_loss ~1e5-scale)
+        args, mesh, splits, model, ts, gb = _setup("vae", batch_size=4)
+        stream = _stream(splits, gb, mesh)
+        ts, metrics = model.train(ts, stream)
+        assert float(jax.device_get(metrics["d_loss"])) > 100.0
+
+
+@pytest.mark.parametrize("name", ["gan", "wgan", "iwgan"])
+class TestGanFamily:
+    def test_train_step_runs(self, name):
+        args, mesh, splits, model, ts, gb = _setup(
+            name, batch_size=4, lr=1e-4, n_disc_train=2)
+        stream = _stream(splits, gb, mesh)
+        ts, metrics = model.train(ts, stream)
+        g = float(jax.device_get(metrics["g_loss"]))
+        d = float(jax.device_get(metrics["d_loss"]))
+        assert np.isfinite(g) and np.isfinite(d)
+
+    def test_wgan_clip(self, name):
+        if name != "wgan":
+            pytest.skip("clip is wgan-only")
+        args, mesh, splits, model, ts, gb = _setup(
+            name, batch_size=4, lr=1e-2, n_disc_train=1)
+        stream = _stream(splits, gb, mesh)
+        ts, _ = model.train(ts, stream)
+        for leaf in jax.tree_util.tree_leaves(ts["params"]):
+            arr = np.asarray(jax.device_get(leaf))
+            assert arr.max() <= 0.01 + 1e-6
+            assert arr.min() >= -0.01 - 1e-6
+
+
+class TestCheckpointRoundtrip:
+    def test_save_restore_identical(self, tmp_path):
+        from hemx.train.checkpoint import CheckpointManager
+        args, mesh, splits, model, ts, gb = _setup("cnn", batch_size=4)
+        stream = _stream(splits, gb, mesh)
+        ts, _ = model.train(ts, stream)
+        mgr = CheckpointManager(str(tmp_path))
+        mgr.save({"train_state": ts, "epoch": np.int64(1)}, 1)
+
+        # fresh init, restore, verify params identical
+        model2 = get_model("cnn")(args, mesh)
+        host_batch = next(splits["train"].iter_epoch(gb, shuffle=False))
+        ts2 = model2.init_state(jax.random.PRNGKey(123), host_batch)
+        restored = mgr.restore({"train_state": ts2, "epoch": np.int64(0)})
+        assert int(restored["epoch"]) == 1
+        for a, b in zip(jax.tree_util.tree_leaves(ts["params"]),
+                        jax.tree_util.tree_leaves(restored["train_state"]["params"])):
+            np.testing.assert_array_equal(np.asarray(jax.device_get(a)),
+                                          np.asarray(jax.device_get(b)))
+
+    def test_max_to_keep(self, tmp_path):
+        from hemx.train.checkpoint import CheckpointManager
+        mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+        for e in range(5):
+            mgr.save({"x": np.zeros(3)}, e)
+        assert [e for e, _ in mgr.checkpoints()] == [3, 4]
+
+
+class TestDataParallel:
+    def test_dp_grads_match_single_device(self):
+        """pmean-equivalent: an 8-device sharded step must produce the same
+        updated params as a 1-device run on the same global batch
+        (SURVEY.md §4 implication 3)."""
+        args8, mesh8, splits, model8, ts8, gb = _setup("cnn", n_devices=0,
+                                                       batch_size=2)
+        args1, mesh1, _, model1, ts1, _ = _setup("cnn", n_devices=1,
+                                                 batch_size=2 * mesh8.size)
+        host_batch = next(splits["train"].iter_epoch(
+            2 * mesh8.size, shuffle=False))
+
+        def once(model, ts, mesh):
+            s = iter([shard_batch(host_batch, mesh)])
+            new_ts, metrics = model.train(ts, s)
+            return new_ts, metrics
+
+        ts8n, m8 = once(model8, ts8, mesh8)
+        ts1n, m1 = once(model1, ts1, mesh1)
+        np.testing.assert_allclose(float(jax.device_get(m8["loss"])),
+                                   float(jax.device_get(m1["loss"])), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(ts8n["params"]),
+                        jax.tree_util.tree_leaves(ts1n["params"])):
+            np.testing.assert_allclose(np.asarray(jax.device_get(a)),
+                                       np.asarray(jax.device_get(b)),
+                                       rtol=2e-4, atol=1e-6)
+
+
+class TestCheckNumerics:
+    def test_nan_grads_reported(self):
+        from hemx.models import common
+        args, mesh, splits, model, ts, gb = _setup(
+            "cnn", batch_size=4, check_numerics=True)
+        stream = _stream(splits, gb, mesh)
+        ts, metrics = model.train(ts, stream)
+        host = common.host_scalars(metrics)
+        common.raise_on_bad_grads(host)  # no NaN: should not raise
+        # poison a flag and verify the named error fires
+        host["grad_finite"]["encoder/c1/w"] = False
+        with pytest.raises(FloatingPointError, match="encoder/c1/w"):
+            common.raise_on_bad_grads(host)

@@ -1,0 +1,256 @@
+"""Golden tests for the ops layer (the reference's test_losses.py pattern,
+hem/ops/test_losses.py:6-27, extended to layers per SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hemx.core import Ctx, sequential
+from hemx.ops import initializers
+from hemx.ops.activations import lrelu, selu, value_fraction
+from hemx.ops.layers import (batch_norm, conv2d, conv2d_op, deconv2d,
+                             deconv2d_op, dense, dropout, flatten, residual)
+from hemx.ops.losses import (bernoulli_recon_loss, gan_d_loss, gan_g_loss,
+                             gradient_penalty, kl_gaussian_loss, rmse,
+                             rmse_scale_invariant, sigmoid_xent, wgan_d_loss,
+                             wgan_g_loss)
+from hemx.ops.images import center_crop, crop_to_bounding_box, rescale
+
+
+class TestLosses:
+    def test_rmse_zero(self):
+        a = jnp.ones((4, 4))
+        assert float(rmse(a, a)) == 0.0
+
+    def test_rmse_known(self):
+        # reference golden case: constant difference of 1 -> rmse 1
+        a = jnp.zeros((3, 3))
+        b = jnp.ones((3, 3))
+        assert float(rmse(a, b)) == pytest.approx(1.0)
+        assert float(rmse(a, 2 * b)) == pytest.approx(2.0)
+
+    def test_rmse_scale_invariant_equal(self):
+        a = jnp.ones((4, 4)) * 3.0
+        assert float(rmse_scale_invariant(a, a)) == pytest.approx(0.0, abs=1e-5)
+
+    def test_rmse_scale_invariant_scaling(self):
+        # scale-invariance: multiplying both by a constant changes nothing;
+        # multiplying one by a constant is partially forgiven vs plain rmse
+        a = jnp.array([[1.0, 2.0], [3.0, 4.0]])
+        si_scaled = float(rmse_scale_invariant(2 * a, a))
+        # lam=0.5: for pure scaling d is constant, penalty = sqrt(c^2 - 0.5 c^2)
+        expected = np.sqrt(0.5) * np.log(2.0)
+        assert si_scaled == pytest.approx(expected, rel=1e-5)
+
+    def test_gan_losses(self):
+        d_real = jnp.array([0.9, 0.8])
+        d_fake = jnp.array([0.1, 0.2])
+        g = float(gan_g_loss(d_fake))
+        assert g == pytest.approx(-np.mean(np.log([0.1, 0.2])), rel=1e-4)
+        d = float(gan_d_loss(d_real, d_fake))
+        expected = -np.mean(np.log([0.9, 0.8])) - np.mean(np.log([0.9, 0.8]))
+        assert d == pytest.approx(expected, rel=1e-3)
+
+    def test_wgan_losses(self):
+        d_real = jnp.array([2.0, 4.0])
+        d_fake = jnp.array([1.0, 3.0])
+        assert float(wgan_g_loss(d_fake)) == pytest.approx(-2.0)
+        assert float(wgan_d_loss(d_real, d_fake)) == pytest.approx(-1.0)
+
+    def test_sigmoid_xent_matches_formula(self):
+        logits = jnp.array([-3.0, -0.5, 0.0, 2.0])
+        labels = jnp.array([0.0, 1.0, 1.0, 0.0])
+        got = np.asarray(sigmoid_xent(logits, labels))
+        p = 1 / (1 + np.exp(-np.asarray(logits)))
+        want = -(np.asarray(labels) * np.log(p)
+                 + (1 - np.asarray(labels)) * np.log(1 - p))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_vae_losses_sum_reduced(self):
+        x = jnp.full((2, 4), 1.0)
+        x_hat = jnp.full((2, 4), 0.5)
+        # -sum(x log(x_hat)) = -8 log 0.5
+        assert float(bernoulli_recon_loss(x, x_hat)) == pytest.approx(
+            -8 * np.log(0.5), rel=1e-4)
+        zm = jnp.zeros((2, 3))
+        zs = jnp.ones((2, 3))
+        assert float(kl_gaussian_loss(zm, zs)) == pytest.approx(0.0, abs=1e-5)
+
+    def test_gradient_penalty_linear_critic(self):
+        # critic f(x) = sum(2x): grad is 2 everywhere.
+        def d_apply(x):
+            return 2.0 * jnp.sum(x.reshape(x.shape[0], -1), axis=1)
+
+        x = jnp.zeros((4, 2, 2, 1))
+        g = jnp.ones((4, 2, 2, 1))
+        alpha = jnp.full((4, 1), 0.5)
+        # per-sample: |grad| per sample = 2*sqrt(4)=4 -> (4-1)^2 = 9
+        gp = gradient_penalty(d_apply, x, g, alpha, per_sample=True)
+        assert float(gp) == pytest.approx(9.0, rel=1e-5)
+        # reference whole-batch quirk: |grad| = 2*sqrt(16)=8 -> 49
+        gp_ref = gradient_penalty(d_apply, x, g, alpha, per_sample=False)
+        assert float(gp_ref) == pytest.approx(49.0, rel=1e-5)
+
+
+class TestActivations:
+    def test_lrelu(self):
+        x = jnp.array([-1.0, 0.0, 2.0])
+        np.testing.assert_allclose(np.asarray(lrelu(x)), [-0.2, 0.0, 2.0],
+                                   rtol=1e-6)
+
+    def test_selu_fixed_point(self):
+        # SELU(0) = 0; for large positive x it's scale*x
+        assert float(selu(jnp.array(0.0))) == 0.0
+        assert float(selu(jnp.array(10.0))) == pytest.approx(10.507, rel=1e-3)
+
+    def test_value_fraction(self):
+        x = jnp.array([0.0, 0.0, 1.0, 2.0])
+        assert float(value_fraction(x)) == pytest.approx(0.5)
+
+
+class TestImages:
+    def test_rescale(self):
+        x = jnp.array([0.0, 0.5, 1.0])
+        np.testing.assert_allclose(np.asarray(rescale(x, (0, 1), (-1, 1))),
+                                   [-1.0, 0.0, 1.0], rtol=1e-6)
+
+    def test_center_crop(self):
+        x = jnp.arange(4 * 10 * 10 * 2, dtype=jnp.float32).reshape(4, 10, 10, 2)
+        y = center_crop(x, 0.5)
+        assert y.shape == (4, 5, 5, 2)
+
+    def test_crop_to_bounding_box(self):
+        x = jnp.zeros((1, 8, 8, 1))
+        y = crop_to_bounding_box(x, 2, 3, 4, 5)
+        assert y.shape == (1, 4, 5, 1)
+
+
+class TestLayers:
+    def test_dense_shapes_and_linearity(self):
+        layer = dense(7, name="d")
+        params, state, out_shape = layer.init(jax.random.PRNGKey(0), (4, 3))
+        assert out_shape == (4, 7)
+        x = jnp.ones((4, 3))
+        y, _ = layer.apply(params, state, x, Ctx())
+        manual = (np.asarray(x, np.float64) @ np.asarray(params["w"], np.float64)
+                  + np.asarray(params["b"], np.float64))
+        np.testing.assert_allclose(np.asarray(y), manual, rtol=1e-5)
+
+    def test_dense_input_size_validation(self):
+        layer = dense(7, input_size=5)
+        with pytest.raises(ValueError):
+            layer.init(jax.random.PRNGKey(0), (4, 3))
+
+    def test_conv2d_same_stride2_shape(self):
+        layer = conv2d(8, 5, 2)
+        params, state, out_shape = layer.init(jax.random.PRNGKey(0), (2, 64, 64, 3))
+        assert out_shape == (2, 32, 32, 8)
+        y, _ = layer.apply(params, state, jnp.ones((2, 64, 64, 3)), Ctx())
+        assert y.shape == (2, 32, 32, 8)
+
+    def test_conv2d_golden_identity_kernel(self):
+        # 1x1 conv with identity kernel == input
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 3))
+        k = jnp.eye(3).reshape(1, 1, 3, 3)
+        y = conv2d_op(x, k, 1, "SAME")
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-5)
+
+    def test_conv2d_golden_sum_kernel(self):
+        # 3x3 all-ones kernel on all-ones input, interior = 9
+        x = jnp.ones((1, 5, 5, 1))
+        k = jnp.ones((3, 3, 1, 1))
+        y = np.asarray(conv2d_op(x, k, 1, "SAME"))
+        assert y[0, 2, 2, 0] == pytest.approx(9.0)
+        assert y[0, 0, 0, 0] == pytest.approx(4.0)  # corner: SAME zero-pad
+
+    def test_deconv2d_is_conv_transpose(self):
+        """deconv2d_op must equal the vjp of the matching forward conv —
+        i.e. exactly tf.nn.conv2d_transpose semantics."""
+        key = jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        # forward conv: (1, 8, 8, 6) -> (1, 4, 4, 2) with SAME/stride 2
+        kernel_fwd = jax.random.normal(k1, (5, 5, 6, 2))  # HWIO
+        y_like = jax.random.normal(k2, (1, 4, 4, 2))
+
+        def fwd(x):
+            return conv2d_op(x, kernel_fwd, 2, "SAME")
+
+        x0 = jnp.zeros((1, 8, 8, 6))
+        _, vjp = jax.vjp(fwd, x0)
+        expected = vjp(y_like)[0]
+        # TF deconv kernel layout [H, W, out, in] with out=6 (image channels),
+        # in=2 — numerically the same array as the forward HWIO kernel.
+        got = deconv2d_op(y_like, kernel_fwd, (8, 8), 2, "SAME")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_deconv2d_layer_doubles_spatial(self):
+        layer = deconv2d(16, 5, 2)
+        params, state, out_shape = layer.init(jax.random.PRNGKey(0), (2, 8, 8, 32))
+        assert out_shape == (2, 16, 16, 16)
+        y, _ = layer.apply(params, state, jnp.ones((2, 8, 8, 32)), Ctx())
+        assert y.shape == (2, 16, 16, 16)
+
+    def test_batch_norm_normalizes(self):
+        layer = batch_norm()
+        params, state, _ = layer.init(jax.random.PRNGKey(0), (8, 4, 4, 3))
+        x = 5.0 + 3.0 * jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4, 3))
+        y, new_state = layer.apply(params, state, x, Ctx(training=True))
+        np.testing.assert_allclose(np.asarray(jnp.mean(y)), 0.0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(jnp.std(y)), 1.0, atol=1e-2)
+        # moving stats moved toward batch stats
+        assert float(new_state["mean"].mean()) != 0.0
+
+    def test_batch_norm_eval_batch_stats_parity(self):
+        # reference always uses batch stats (never passes is_training=False)
+        layer = batch_norm(eval_stats="batch")
+        params, state, _ = layer.init(jax.random.PRNGKey(0), (8, 3))
+        x = 7.0 + jax.random.normal(jax.random.PRNGKey(1), (8, 3))
+        y, new_state = layer.apply(params, state, x, Ctx(training=False))
+        np.testing.assert_allclose(np.asarray(jnp.mean(y)), 0.0, atol=1e-4)
+        # but eval must not mutate moving stats
+        np.testing.assert_allclose(np.asarray(new_state["mean"]),
+                                   np.asarray(state["mean"]))
+
+    def test_dropout_train_vs_eval(self):
+        layer = dropout(0.5)
+        x = jnp.ones((100, 100))
+        y_eval, _ = layer.apply({}, {}, x, Ctx(training=False))
+        np.testing.assert_allclose(np.asarray(y_eval), np.asarray(x))
+        y_train, _ = layer.apply({}, {}, x, Ctx(training=True,
+                                                rng=jax.random.PRNGKey(0)))
+        kept = np.asarray(y_train) > 0
+        assert 0.4 < kept.mean() < 0.6
+        # inverted scaling
+        np.testing.assert_allclose(np.asarray(y_train)[kept], 2.0, rtol=1e-6)
+
+    def test_residual_shapes(self):
+        layer = residual(8, 3, use_batch_norm=True, activation=lrelu, name="r")
+        params, state, out_shape = layer.init(jax.random.PRNGKey(0), (2, 16, 16, 4))
+        assert out_shape == (2, 16, 16, 8)
+        y, new_state = layer.apply(params, state, jnp.ones((2, 16, 16, 4)),
+                                   Ctx(training=True))
+        assert y.shape == (2, 16, 16, 8)
+
+    def test_sequential_and_flatten(self):
+        net = sequential(conv2d(4, 3, 2, name="c"), flatten(),
+                         dense(10, name="d"), name="net")
+        params, state, out_shape = net.init(jax.random.PRNGKey(0), (2, 8, 8, 1))
+        assert out_shape == (2, 10)
+        y, _ = net.apply(params, state, jnp.ones((2, 8, 8, 1)), Ctx())
+        assert y.shape == (2, 10)
+
+    def test_xavier_fans(self):
+        # conv kernel (5,5,16,32): fan_in = 5*5*16, fan_out = 5*5*32
+        k = initializers.xavier_uniform(jax.random.PRNGKey(0), (5, 5, 16, 32))
+        limit = np.sqrt(6.0 / (5 * 5 * 16 + 5 * 5 * 32))
+        assert float(jnp.abs(k).max()) <= limit + 1e-6
+        assert float(jnp.abs(k).max()) >= 0.8 * limit  # actually fills range
+
+    def test_capture_intermediates(self):
+        net = sequential(dense(4, name="d1"), dense(2, name="d2"), name="net")
+        params, state, _ = net.init(jax.random.PRNGKey(0), (3, 5))
+        ctx = Ctx(capture=True)
+        net.apply(params, state, jnp.ones((3, 5)), ctx)
+        assert set(ctx.intermediates) == {"d1", "d2"}

@@ -1,0 +1,150 @@
+"""tfevents writer/reader round-trip + TFRecord + proto tests
+(SURVEY.md §7.3: verify TensorBoard-format framing without TF)."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from hemx.summaries import proto
+from hemx.summaries.crc32c import crc32c, masked_crc32c
+from hemx.summaries.events import EventsWriter, SummaryWriterSet
+from hemx.summaries.montage import factorization, montage
+from hemx.summaries.png import decode_png, encode_png
+from hemx.summaries.reader import get_all_events, get_tag_values, iter_events
+from hemx.data.tfrecord import TFRecordWriter, count_records, tfrecord_iterator
+
+
+class TestCrc32c:
+    def test_known_vectors(self):
+        # RFC 3720 test vector: 32 bytes of zeros -> 0x8a9136aa
+        assert crc32c(b"\x00" * 32) == 0x8A9136AA
+        assert crc32c(b"\xff" * 32) == 0x62A8AB43
+        assert crc32c(bytes(range(32))) == 0x46DD794E
+
+    def test_masked(self):
+        # mask is reversible: unmask(mask(x)) == x
+        data = b"hello tfrecord"
+        m = masked_crc32c(data)
+        crc = ((m - 0xA282EAD8) & 0xFFFFFFFF)
+        crc = ((crc >> 17) | (crc << 15)) & 0xFFFFFFFF
+        assert crc == crc32c(data)
+
+
+class TestProto:
+    def test_varint_roundtrip(self):
+        for n in (0, 1, 127, 128, 300, 2 ** 32, 2 ** 60):
+            buf = proto.enc_varint(n)
+            got, pos = proto.dec_varint(buf, 0)
+            assert got == n and pos == len(buf)
+
+    def test_example_roundtrip(self):
+        ex = proto.example({
+            "image": proto.feature_bytes([b"\x01\x02\x03"]),
+            "label": proto.feature_int64([7]),
+            "scale": proto.feature_float([1.5, 2.5]),
+        })
+        parsed = proto.parse_example(ex)
+        assert parsed["image"]["bytes"][0] == b"\x01\x02\x03"
+        assert parsed["label"]["int64"] == [7]
+        np.testing.assert_allclose(parsed["scale"]["float"], [1.5, 2.5])
+
+
+class TestTFRecord:
+    def test_roundtrip_and_count(self, tmp_path):
+        path = str(tmp_path / "test.tfrecords")
+        records = [b"first", b"second record", b"x" * 1000]
+        with TFRecordWriter(path) as w:
+            for r in records:
+                w.write(r)
+        got = list(tfrecord_iterator(path, verify=True))
+        assert got == records
+        assert count_records(path) == 3
+        # count is cached
+        assert os.path.exists(path + ".count")
+        assert count_records(path) == 3
+
+
+class TestEvents:
+    def test_scalar_roundtrip(self, tmp_path):
+        logdir = str(tmp_path / "train")
+        w = EventsWriter(logdir)
+        w.scalar("losses/g_loss", 1.5, step=10)
+        w.scalar("losses/g_loss", 1.25, step=20)
+        w.scalar("losses/d_loss", 0.5, step=10)
+        w.close()
+        events = get_all_events(logdir)
+        assert set(events) == {"losses/g_loss", "losses/d_loss"}
+        series = get_tag_values(logdir, "losses/g_loss")
+        assert [s for s, _ in series] == [10, 20]
+        assert series[0][1] == pytest.approx(1.5)
+
+    def test_dedup_by_step_latest_wins(self, tmp_path):
+        logdir = str(tmp_path / "train")
+        w = EventsWriter(logdir)
+        w.scalar("loss", 5.0, step=10)
+        w.scalar("loss", 3.0, step=10)  # later wall time, same step
+        w.close()
+        series = get_tag_values(logdir, "loss")
+        assert len(series) == 1
+        assert series[0][1] == pytest.approx(3.0)
+
+    def test_histogram_and_image(self, tmp_path):
+        logdir = str(tmp_path / "train")
+        w = EventsWriter(logdir)
+        w.histogram("weights/w1", np.random.default_rng(0).normal(size=1000), 5)
+        img = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+        w.image("examples/img", img, 5)
+        w.montage("examples/grid", np.stack([img] * 4), 5)
+        w.close()
+        evs = [e for p in [logdir] for e in
+               iter_events(next(iter(
+                   __import__("glob").glob(os.path.join(logdir, "events*")))))]
+        tags = {v.get("tag") for e in evs for v in e["values"]}
+        assert {"weights/w1", "examples/img", "examples/grid"} <= tags
+
+    def test_writer_set(self, tmp_path):
+        ws = SummaryWriterSet(str(tmp_path))
+        for phase in ("train", "validate", "test"):
+            ws[phase].scalar("l", 1.0, 1)
+        ws.close()
+        for phase in ("train", "validate", "test"):
+            assert get_tag_values(str(tmp_path / phase), "l")
+
+    def test_file_version_header(self, tmp_path):
+        logdir = str(tmp_path)
+        w = EventsWriter(logdir)
+        w.close()
+        events = list(iter_events(w.path))
+        assert events  # at least the version event
+        # first event's record must contain file_version field
+        with open(w.path, "rb") as f:
+            header = f.read(8)
+            (ln,) = struct.unpack("<Q", header)
+            f.read(4)
+            rec = f.read(ln)
+        fields = {field: v for field, _, v in proto.iter_fields(rec)}
+        assert fields[3] == b"brain.Event:2"
+
+
+class TestPng:
+    def test_roundtrip_rgb(self):
+        img = np.random.default_rng(0).integers(0, 256, (20, 30, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    def test_roundtrip_gray(self):
+        img = np.random.default_rng(1).integers(0, 256, (8, 8), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img))[..., 0], img)
+
+
+class TestMontage:
+    def test_factorization(self):
+        assert factorization(64) == (8, 8)
+        assert factorization(12) == (3, 4)
+        assert factorization(7) == (1, 7)
+
+    def test_montage_shape(self):
+        imgs = np.zeros((6, 10, 12, 3), np.float32)
+        m = montage(imgs, grid=(2, 3), pad=1)
+        assert m.shape == (2 * 11 + 1, 3 * 13 + 1, 3)

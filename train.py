@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""hemx training CLI (reference: train.py, paper_train.py).
+
+Examples:
+    python train.py --model cnn --dataset mnist --dir workspace/cnn_mnist
+    python train.py @examples/iwgan.config --dir workspace/iwgan
+    python train.py --model iwgan --dataset synthetic --n_devices 8 ...
+
+Both the v1 flat CLI (train.py) and the v2 plugin CLI (paper_train.py) map to
+this entry point; model/dataset plugins contribute their own flags.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+
+import hemx
+from hemx.parallel.mesh import make_mesh
+
+
+def main(argv=None) -> int:
+    args = hemx.parse_args(argv, display=True)
+    mesh = make_mesh(args.n_devices)
+    hemx.message(f"Mesh: {mesh.devices.size} device(s) "
+                 f"({mesh.devices.flat[0].platform})")
+    splits = hemx.get_dataset_tensors(args)
+    model_cls = hemx.get_model(args.model)
+    if model_cls is None:
+        from hemx.models.plugin import available_models
+        hemx.message(f"ERROR: unknown model '{args.model}'. "
+                     f"Available: {available_models()}", hemx.ERROR)
+        return 2
+    model = model_cls(args, mesh)
+    try:
+        hemx.train(model, splits, args, mesh)
+    except FloatingPointError as e:
+        # nonzero exit so repeat.sh-style wrappers restart from the last
+        # checkpoint (reference: hem/util/training.py:173-175, repeat.sh)
+        hemx.message(str(e), hemx.ERROR)
+        return 255
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
