@@ -46,10 +46,12 @@ class TFRecordSource:
     """
 
     def __init__(self, paths: list[str], parse: Callable[[bytes], dict],
-                 cache: bool = True):
+                 cache: bool = True,
+                 sample_filter: Optional[Callable[[dict], bool]] = None):
         self.paths = paths
         self.parse = parse
         self._cache_enabled = cache
+        self._filter = sample_filter
         self._records: Optional[list[bytes]] = None
         self._materialized: Optional[ArraySource] = None
 
@@ -64,6 +66,8 @@ class TFRecordSource:
     def _materialize(self) -> ArraySource:
         if self._materialized is None:
             samples = [self.parse(r) for r in self._load_records()]
+            if self._filter is not None:
+                samples = [s for s in samples if self._filter(s)]
             if not samples:
                 raise ValueError(f"no records in {self.paths}")
             arrays = {k: np.stack([s[k] for s in samples])
@@ -88,10 +92,16 @@ class Split:
     """
 
     def __init__(self, source, *, batch_transform: Optional[Callable] = None,
-                 name: str = "train"):
+                 name: str = "train", transform_needs_rng: bool = False):
         self.source = source
         self.batch_transform = batch_transform
         self.name = name
+        # transform_needs_rng: batch_transform takes (batch, rng) and applies
+        # per-draw augmentation (e.g. NYUv2 joint random crops, which the
+        # reference re-sampled every epoch via tf.random_crop in the map fn —
+        # hem/data/nyuv2.py:192-208; hemx caches decoded samples and crops at
+        # batch-assembly time instead)
+        self.transform_needs_rng = transform_needs_rng
 
     @property
     def count(self) -> int:
@@ -113,7 +123,12 @@ class Split:
             idx = order[b * global_batch:(b + 1) * global_batch]
             batch = self.source.batch(idx)
             if self.batch_transform is not None:
-                batch = self.batch_transform(batch)
+                if self.transform_needs_rng:
+                    brng = np.random.default_rng(
+                        np.random.SeedSequence([seed, epoch, b]))
+                    batch = self.batch_transform(batch, brng)
+                else:
+                    batch = self.batch_transform(batch)
             yield batch
 
 
