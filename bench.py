@@ -35,7 +35,7 @@ def main() -> None:
     args = parser.parse_args()
 
     import jax
-    from tests.conftest import make_args
+    from hemx.config import default_args as make_args
     from hemx.models.plugin import get_model
     from hemx.parallel.mesh import make_mesh
     from hemx.parallel.dp import shard_batch
@@ -58,15 +58,23 @@ def main() -> None:
         while True:
             yield device_batch
 
+    def barrier(ts):
+        # Force a real device->host transfer of an updated parameter: under
+        # this PJRT runtime block_until_ready resolves optimistically, so
+        # only device_get actually drains the step chain (the parameter
+        # depends on the full forward+backward+update of every queued step).
+        leaf = jax.tree_util.tree_leaves(ts["params"])[0]
+        np.asarray(jax.device_get(leaf))
+
     s = stream()
     for _ in range(args.warmup):
         ts, metrics = model.train(ts, s)
-    jax.block_until_ready(ts["step"])
+    barrier(ts)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         ts, metrics = model.train(ts, s)
-    jax.block_until_ready(ts["step"])
+    barrier(ts)
     elapsed = time.perf_counter() - t0
 
     img_per_sec = args.steps * args.batch / elapsed

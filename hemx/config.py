@@ -87,6 +87,11 @@ def build_base_parser() -> CustomArgumentParser:
                        choices=["float32", "bfloat16"],
                        help="Compute dtype for the forward/backward pass "
                             "(params stay float32).")
+    train.add_argument("--precision", type=str.lower, default="default",
+                       choices=["default", "high", "highest"],
+                       help="MXU precision: 'default' = bf16 inputs with f32 "
+                            "accumulation (TPU-native, fast); 'highest' = "
+                            "full f32 for strict reference parity.")
 
     opt = parser.add_argument_group("Optimizer")
     opt.add_argument("--optimizer", type=str.lower, default="rmsprop")
@@ -146,6 +151,30 @@ def parse_args(argv=None, display: bool = False):
         for a in sorted(vars(args)):
             print(f"    {a} = {getattr(args, a)}")
     return args
+
+
+def default_args(**overrides):
+    """Args namespace with every CLI default resolved, no side effects.
+
+    Programmatic entry (bench.py, __graft_entry__.py, tests) — equivalent to
+    parsing an empty command line plus the requested plugin args."""
+    import types
+
+    ns = types.SimpleNamespace()
+    parser = build_base_parser()
+    for action in parser._actions:
+        if action.dest not in ("help",):
+            setattr(ns, action.dest, action.default)
+    # plugin-contributed defaults commonly needed programmatically
+    extra = dict(latent_size=200, n_disc_train=5, vae_parity_loss=False,
+                 synthetic_count=1024, synthetic_shape=[64, 64, 3],
+                 cifar_resize=0, seed=42)
+    for k, v in extra.items():
+        setattr(ns, k, v)
+    ns.dir = None
+    for k, v in overrides.items():
+        setattr(ns, k, v)
+    return ns
 
 
 def init_working_dir(args) -> str:

@@ -86,8 +86,9 @@ class CnnModel(ModelPlugin):
         params, mstate, _ = self._net.init(k_init, x.shape)
         opt = self.optimizer.init(params)
         self._compile()
-        return common.new_train_state(params, mstate, opt,
-                                      int(jax.random.randint(k_state, (), 0, 2**31 - 1)))
+        return common.new_train_state(
+            params, mstate, opt,
+            int(jax.random.randint(k_state, (), 0, 2**31 - 1)), self.mesh)
 
     def _compile(self):
         check = self.args.check_numerics

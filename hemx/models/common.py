@@ -21,14 +21,22 @@ import optax
 from hemx.core import Ctx
 
 
-def new_train_state(params, mstate, opt_states, seed: int) -> dict:
-    return {
+def new_train_state(params, mstate, opt_states, seed: int, mesh=None) -> dict:
+    ts = {
         "params": params,
         "mstate": mstate,
         "opt": opt_states,
         "step": jnp.zeros((), jnp.int32),
         "rng": jax.random.PRNGKey(seed),
     }
+    if mesh is not None:
+        # Replicate onto the mesh NOW so the first jitted step sees the same
+        # sharding signature as steady-state calls. Without this, step
+        # outputs (NamedSharding) differ from init arrays (SingleDevice
+        # sharding) and the second call triggers a full recompile.
+        from hemx.parallel.mesh import replicated_sharding
+        ts = jax.device_put(ts, replicated_sharding(mesh))
+    return ts
 
 
 def step_rng(ts: dict) -> jax.Array:

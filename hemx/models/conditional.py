@@ -1,0 +1,274 @@
+"""Shared machinery for the conditional-GAN (image -> depth) model zoo.
+
+Every v2 depth model follows one skeleton (reference: hem/models/pix2pix.py,
+sampler_gan.py, improved_sampler.py, paper_cgan.py, paper_sampler.py, ...):
+prepare (x, y) pairs -> G predicts depth -> D scores (x, depth) pairs ->
+sigmoid-xent (or Wasserstein) losses -> alternating D/G updates -> sampler
+diagnostics (one image repeated B times to visualize the conditional
+distribution). The reference repeats ~400 lines per model; hemx factors the
+skeleton here and lets each plugin supply architectures + loss config.
+
+Subclass contract:
+* ``build_nets(prep_shapes) -> {"generator": Layer, "discriminator": Layer}``
+  — the discriminator Layer consumes ``concat([x_d, y], channel_axis)``
+  unless ``d_forward`` is overridden;
+* ``prepare(batch, ctx) -> dict`` with at least ``g_input`` (G's input,
+  NHWC) and ``y`` (target depth in G's output range); optional ``d_x``
+  (D's conditioning input, defaults to g_input);
+* optionally override ``transform_g``, ``extra_g_loss``, ``d_forward``.
+
+Training regimes (reference: paper_cgan.py:64-69,180-210): ``gan`` =
+sigmoid-xent + n_disc_train; ``wgan`` = Wasserstein + weight clip +/-0.01
+on D + n_disc_train critic steps.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hemx.core import Ctx
+from hemx.models import common
+from hemx.models.plugin import ModelPlugin
+from hemx.ops import losses as L
+from hemx.parallel.dp import jit_step
+from hemx.train.optimizers import clip_params, init_optimizer
+
+
+class ConditionalGanBase(ModelPlugin):
+    training_version = "gan"   # or "wgan"
+    clip_value = 0.01
+
+    def __init__(self, args, mesh):
+        super().__init__(args, mesh)
+        self.g_optimizer = init_optimizer(args)
+        self.d_optimizer = init_optimizer(args)
+        self._nets = None
+
+    # ------------------------------------------------------------------ hooks
+    def build_nets(self, prep: dict) -> dict:
+        raise NotImplementedError
+
+    def prepare(self, batch: dict, ctx: Ctx) -> dict:
+        """Split/scale the input batch. Default: x=image in [-1,1],
+        y=depth in [-1,1] (reference: pix2pix.py:102-104)."""
+        return {"g_input": 2.0 * (batch["image"] - 0.5),
+                "y": 2.0 * (batch["depth"] - 0.5)}
+
+    def transform_g(self, g, prep: dict):
+        """Post-process raw G output into the depth estimate (e.g.
+        mean-adjusted residual models add the mean back)."""
+        return g
+
+    def extra_g_loss(self, g, prep: dict):
+        """Additional generator loss terms (L1, RMSE, sparsity...). Returns
+        (value, {name: scalar}) — value is added to the GAN loss."""
+        return 0.0, {}
+
+    def extra_losses(self, g, prep: dict) -> dict:
+        """Metrics reported but not optimized (e.g. rmse)."""
+        return {}
+
+    def g_forward(self, params, mstate, prep, ctx):
+        g, ms = self._nets["generator"].apply(params["generator"],
+                                              mstate["generator"],
+                                              prep["g_input"], ctx)
+        return self.transform_g(g, prep), ms
+
+    def d_forward(self, params, mstate, prep, depth, ctx):
+        """Score a (conditioning, depth) pair. Default: channel-concat."""
+        d_x = prep.get("d_x", prep["g_input"])
+        pair = jnp.concatenate([d_x, depth], axis=-1)
+        h, ms = self._nets["discriminator"].apply(params["discriminator"],
+                                                  mstate["discriminator"],
+                                                  pair, ctx)
+        return h, ms
+
+    # --------------------------------------------------------------- plumbing
+    def init_state(self, rng, sample_batch) -> dict:
+        batch = {k: jnp.asarray(np.asarray(v)) for k, v in sample_batch.items()}
+        prep = self.prepare(batch, Ctx(training=False,
+                                       rng=jax.random.PRNGKey(0)))
+        self._nets = self.build_nets(prep)
+        kg, kd = jax.random.split(rng)
+        g_in_shape = tuple(prep["g_input"].shape)
+        gp, gs, g_out = self._nets["generator"].init(kg, g_in_shape)
+        d_x = prep.get("d_x", prep["g_input"])
+        d_in_shape = tuple(d_x.shape[:-1]) + (d_x.shape[-1] + prep["y"].shape[-1],)
+        dp, ds, _ = self._nets["discriminator"].init(kd, d_in_shape)
+        params = {"generator": gp, "discriminator": dp}
+        mstate = {"generator": gs, "discriminator": ds}
+        opt = {"g": self.g_optimizer.init(gp), "d": self.d_optimizer.init(dp)}
+        self._compile()
+        return common.new_train_state(params, mstate, opt, self.args.seed,
+                                      self.mesh)
+
+    def _gan_losses(self, real_logits, fake_logits):
+        if self.training_version == "wgan":
+            g_loss = L.wgan_g_loss(fake_logits)
+            d_real = -jnp.mean(real_logits)
+            d_fake = jnp.mean(fake_logits)
+            d_loss = d_real + d_fake
+        else:
+            g_loss = jnp.mean(L.sigmoid_xent(fake_logits,
+                                             jnp.ones_like(fake_logits)))
+            d_real = jnp.mean(L.sigmoid_xent(real_logits,
+                                             jnp.ones_like(real_logits)))
+            d_fake = jnp.mean(L.sigmoid_xent(fake_logits,
+                                             jnp.zeros_like(fake_logits)))
+            d_loss = d_real + d_fake
+        return g_loss, d_loss, d_real, d_fake
+
+    def _compile(self):
+        check = self.args.check_numerics
+
+        def d_step(ts, batch):
+            rng = common.step_rng(ts)
+            prep = self.prepare(batch, Ctx(training=True, rng=rng))
+
+            def loss_fn(dp):
+                params = {**ts["params"], "discriminator": dp}
+                ctx = Ctx(training=True, rng=rng)
+                g, _ = self.g_forward(params, ts["mstate"], prep, ctx)
+                real_logits, ms1 = self.d_forward(params, ts["mstate"], prep,
+                                                  prep["y"], ctx)
+                fake_logits, ms2 = self.d_forward(
+                    params, {**ts["mstate"], "discriminator": ms1}, prep, g,
+                    Ctx(training=True, rng=rng))
+                _, d_loss, d_real, d_fake = self._gan_losses(real_logits,
+                                                             fake_logits)
+                return d_loss, (ms2, d_real, d_fake)
+
+            (d_loss, (ms_d, d_real, d_fake)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(ts["params"]["discriminator"])
+            new_d, new_opt_d = common.apply_updates_group(
+                self.d_optimizer, grads, ts["opt"]["d"],
+                ts["params"]["discriminator"])
+            if self.training_version == "wgan":
+                new_d = clip_params(new_d, self.clip_value)
+            metrics = {"d_loss": d_loss, "d_real": d_real, "d_fake": d_fake}
+            if check:
+                metrics["grad_finite"] = common.grad_finite_report({"d": grads})
+            new_ts = {**ts,
+                      "params": {**ts["params"], "discriminator": new_d},
+                      "mstate": {**ts["mstate"], "discriminator": ms_d},
+                      "opt": {**ts["opt"], "d": new_opt_d},
+                      "step": ts["step"]}
+            return new_ts, metrics
+
+        def g_step(ts, batch):
+            rng = common.step_rng(ts)
+            prep = self.prepare(batch, Ctx(training=True, rng=rng))
+
+            def loss_fn(gp):
+                params = {**ts["params"], "generator": gp}
+                ctx = Ctx(training=True, rng=rng)
+                g, ms_g = self.g_forward(params, ts["mstate"], prep, ctx)
+                fake_logits, _ = self.d_forward(params, ts["mstate"], prep, g,
+                                                Ctx(training=True, rng=rng))
+                g_gan, _, _, _ = self._gan_losses(fake_logits, fake_logits)
+                extra, extra_metrics = self.extra_g_loss(g, prep)
+                g_total = g_gan + extra
+                return g_total, (ms_g, g, g_gan, extra_metrics)
+
+            (g_total, (ms_g, g, g_gan, extra_metrics)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(
+                    ts["params"]["generator"])
+            new_g, new_opt_g = common.apply_updates_group(
+                self.g_optimizer, grads, ts["opt"]["g"],
+                ts["params"]["generator"])
+            metrics = {"g_loss": g_total, "g_gan": g_gan,
+                       **extra_metrics, **self.extra_losses(g, prep)}
+            if check:
+                metrics["grad_finite"] = common.grad_finite_report({"g": grads})
+            new_ts = {**ts,
+                      "params": {**ts["params"], "generator": new_g},
+                      "mstate": {**ts["mstate"], "generator": ms_g},
+                      "opt": {**ts["opt"], "g": new_opt_g},
+                      "step": ts["step"] + 1}
+            return new_ts, metrics
+
+        def eval_step(ts, batch):
+            rng = common.step_rng(ts)
+            ctx = Ctx(training=True, rng=rng)
+            prep = self.prepare(batch, ctx)
+            g, _ = self.g_forward(ts["params"], ts["mstate"], prep, ctx)
+            real_logits, _ = self.d_forward(ts["params"], ts["mstate"], prep,
+                                            prep["y"], ctx)
+            fake_logits, _ = self.d_forward(ts["params"], ts["mstate"], prep, g,
+                                            ctx)
+            g_gan, d_loss, d_real, d_fake = self._gan_losses(real_logits,
+                                                             fake_logits)
+            extra, extra_metrics = self.extra_g_loss(g, prep)
+            return {"g_loss": g_gan + extra, "d_loss": d_loss,
+                    **extra_metrics, **self.extra_losses(g, prep)}
+
+        def predict(ts, batch):
+            rng = common.step_rng(ts)
+            ctx = Ctx(training=True, rng=rng)
+            prep = self.prepare(batch, ctx)
+            g, _ = self.g_forward(ts["params"], ts["mstate"], prep, ctx)
+            return g, prep
+
+        def sample(ts, batch, rng):
+            """Sampler path: repeat sample 0 across the batch to expose the
+            conditional distribution (reference: pix2pix.py:106-113)."""
+            ctx = Ctx(training=True, rng=rng)
+            rep = {k: jnp.repeat(v[:1], v.shape[0], axis=0)
+                   for k, v in batch.items()}
+            prep = self.prepare(rep, ctx)
+            g, _ = self.g_forward(ts["params"], ts["mstate"], prep, ctx)
+            return g, prep
+
+        self._jit_d = jit_step(d_step, self.mesh)
+        self._jit_g = jit_step(g_step, self.mesh)
+        self._jit_eval = jit_step(eval_step, self.mesh, donate_argnums=())
+        self._jit_predict = jit_step(predict, self.mesh, donate_argnums=())
+        self._jit_sample = jit_step(sample, self.mesh, donate_argnums=(),
+                                    batch_argnums=(1,))
+
+    # ------------------------------------------------------------------- API
+    @property
+    def n_disc_train(self) -> int:
+        return getattr(self.args, "n_disc_train", 1)
+
+    def train(self, ts, stream):
+        for _ in range(self.n_disc_train):
+            ts, d_metrics = self._jit_d(ts, next(stream))
+        ts, g_metrics = self._jit_g(ts, next(stream))
+        return ts, {**d_metrics, **g_metrics}
+
+    def eval_losses(self, ts, batch) -> dict:
+        return self._jit_eval(ts, batch)
+
+    # --------------------------------------------------------------- summaries
+    def depth_range(self):
+        """(lo, hi) of G outputs for montage rescaling."""
+        return (-1.0, 1.0)
+
+    def write_summaries(self, writer, step, ts, batch) -> None:
+        n = min(self.args.examples, next(iter(batch.values())).shape[0])
+        g, prep = self._jit_predict(ts, batch)
+        g_s, prep_s = self._jit_sample(ts, batch,
+                                       jax.random.fold_in(ts["rng"], step))
+        lo, hi = self.depth_range()
+
+        def norm(a):
+            return np.clip((np.asarray(jax.device_get(a)) - lo) / (hi - lo),
+                           0, 1)
+
+        from hemx.ops.images import colorize
+        x_img = np.asarray(jax.device_get(batch["image"]))[:n]
+        writer.montage("model/images", np.clip(x_img, 0, 1), step)
+        writer.montage("model/real_depths", colorize(norm(prep["y"])[:n]), step)
+        writer.montage("model/fake_depths", colorize(norm(g)[:n]), step)
+        writer.montage("sampler/fake_depths", colorize(norm(g_s)[:n]), step)
+        # sampler variance diagnostics (reference: sampler_gan.py:366-384)
+        gs = norm(g_s)
+        writer.scalar("sampler/sample_variance", float(gs.var(axis=0).mean()),
+                      step)
+        y_s = norm(prep_s["y"])[0]
+        l2 = ((gs - y_s) ** 2).reshape(gs.shape[0], -1).sum(axis=1)
+        writer.scalar("sampler/mean_sample_l2", float(l2.mean()), step)
+        writer.scalar("sampler/min_sample_l2", float(l2.min()), step)

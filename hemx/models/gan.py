@@ -123,7 +123,7 @@ class GanModel(ModelPlugin):
         mstate = {"generator": gs, "discriminator": ds}
         opt = {"g": self.g_optimizer.init(gp), "d": self.d_optimizer.init(dp)}
         self._compile()
-        return common.new_train_state(params, mstate, opt, self.args.seed)
+        return common.new_train_state(params, mstate, opt, self.args.seed, self.mesh)
 
     def _compile(self):
         latent = self.args.latent_size

@@ -117,7 +117,7 @@ class VaeModel(ModelPlugin):
         params["decoder"], mstate["decoder"] = p, s
         opt = self.optimizer.init(params)
         self._compile()
-        return common.new_train_state(params, mstate, opt, self.args.seed)
+        return common.new_train_state(params, mstate, opt, self.args.seed, self.mesh)
 
     def _compile(self):
         check = self.args.check_numerics

@@ -43,10 +43,13 @@ from hemx.ops import initializers
 
 _CONV_DIMS = ("NHWC", "HWIO", "NHWC")
 
-# Global MXU precision policy. 'highest' = full f32 passes (parity with the
-# reference's f32 GPU math); 'default' = native bf16 MXU passes with f32
-# accumulation (the TPU speed path, enabled by --dtype bfloat16).
-_PRECISION = lax.Precision.HIGHEST
+# Global MXU precision policy. 'default' = native bf16 MXU passes with f32
+# accumulation — the TPU-native fast path and hemx's default. 'highest' =
+# full f32 emulation (6 bf16 passes per conv; ~10x slower to compile AND run)
+# for strict numerical parity with the reference's f32 GPU math — enable via
+# --precision highest. Golden unit tests run on CPU where 'default' is
+# already exact f32.
+_PRECISION = lax.Precision.DEFAULT
 
 
 def set_default_precision(name: str) -> None:

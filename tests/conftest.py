@@ -29,7 +29,8 @@ def make_args(**overrides):
         seed=42, n_devices=0, profile=False, check_numerics=False,
         model="cnn", examples=4, epochs="1", batch_size=8, epoch_size=-1,
         dir=None, max_to_keep=0, test_epochs=[], summary_freq=0,
-        dtype="float32", optimizer="rmsprop", lr=1e-3, loss="l1",
+        dtype="float32", precision="default", optimizer="rmsprop", lr=1e-3,
+        loss="l1",
         momentum=0.01, decay=0.9, centered=False, beta1=0.9, beta2=0.999,
         dataset="synthetic", shuffle=True, buffer_size=10000, cache_dir=None,
         raw_dataset_dir="/tmp", dataset_dir="datasets", n_threads=1,

@@ -1,0 +1,71 @@
+"""Conditional model zoo tests (pix2pix, mean_depth_estimator) on synthetic
+image+depth pairs over the 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from tests.conftest import make_args
+from hemx.data.synthetic import SyntheticDataset
+from hemx.models.plugin import get_model
+from hemx.parallel.dp import shard_batch
+from hemx.parallel.mesh import make_mesh
+
+
+def _setup(name, **overrides):
+    overrides.setdefault("synthetic_shape", [32, 32, 3])
+    overrides.setdefault("batch_size", 2)
+    args = make_args(model=name, **overrides)
+    mesh = make_mesh(0)
+    splits = SyntheticDataset.get_datasets(args)
+    model = get_model(name)(args, mesh)
+    gb = args.batch_size * mesh.size
+    host = next(splits["train"].iter_epoch(gb, shuffle=False))
+    ts = model.init_state(jax.random.PRNGKey(0), host)
+    batch = shard_batch(host, mesh)
+    return args, mesh, model, ts, batch
+
+
+class TestPix2Pix:
+    def test_registered(self):
+        assert get_model("pix2pix") is not None
+
+    def test_train_step(self):
+        args, mesh, model, ts, batch = _setup(
+            "pix2pix", n_disc_train=1, add_l1=True, l1_lambda=10.0,
+            noise=[], dropout=0, batch_norm_disc=False, batch_norm_gen=False)
+        ts, m = model.train(ts, iter([batch, batch]))
+        for k in ("g_loss", "d_loss", "l1", "rmse"):
+            assert np.isfinite(float(jax.device_get(m[k]))), k
+
+    def test_noise_injection_and_dropout(self):
+        args, mesh, model, ts, batch = _setup(
+            "pix2pix", n_disc_train=1, add_l1=False, l1_lambda=10.0,
+            noise=["input", "latent", "end"], dropout=0.5,
+            batch_norm_disc=True, batch_norm_gen=True)
+        ts, m = model.train(ts, iter([batch, batch]))
+        assert np.isfinite(float(jax.device_get(m["g_loss"])))
+
+    def test_eval_and_summaries(self, tmp_path):
+        args, mesh, model, ts, batch = _setup(
+            "pix2pix", n_disc_train=1, add_l1=False, l1_lambda=10.0,
+            noise=[], dropout=0, batch_norm_disc=False, batch_norm_gen=False)
+        losses = model.eval_losses(ts, batch)
+        assert "d_loss" in losses
+        from hemx.summaries.events import EventsWriter
+        w = EventsWriter(str(tmp_path))
+        model.write_summaries(w, 1, ts, batch)
+        w.close()
+        from hemx.summaries.reader import get_all_events
+        tags = set(get_all_events(str(tmp_path)))
+        assert "sampler/sample_variance" in tags
+
+
+class TestMeanDepthEstimator:
+    def test_train_and_predict(self):
+        args, mesh, model, ts, batch = _setup("mean_depth_estimator")
+        ts, m = model.train(ts, iter([batch]))
+        assert np.isfinite(float(jax.device_get(m["m_loss"])))
+        pred = np.asarray(jax.device_get(model.predict_mean(ts, batch)))
+        assert pred.shape[1] == 1
+        assert (pred >= 0).all() and (pred <= 1).all()  # sigmoid output

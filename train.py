@@ -22,6 +22,8 @@ from hemx.parallel.mesh import make_mesh
 
 def main(argv=None) -> int:
     args = hemx.parse_args(argv, display=True)
+    from hemx.ops.layers import set_default_precision
+    set_default_precision(getattr(args, "precision", "default"))
     mesh = make_mesh(args.n_devices)
     hemx.message(f"Mesh: {mesh.devices.size} device(s) "
                  f"({mesh.devices.flat[0].platform})")
