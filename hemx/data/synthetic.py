@@ -17,7 +17,7 @@ from hemx.data.plugin import DataPlugin
 def _make_images(n: int, h: int, w: int, c: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     # smooth blobs rather than white noise so conv nets have structure to fit
-    base = rng.normal(size=(n, h // 4 or 1, w // 4 or 1, c)).astype(np.float32)
+    base = rng.normal(size=(n, -(-h // 4), -(-w // 4), c)).astype(np.float32)
     up = np.repeat(np.repeat(base, 4, axis=1), 4, axis=2)[:, :h, :w, :]
     lo = up.min(axis=(1, 2, 3), keepdims=True)
     hi = up.max(axis=(1, 2, 3), keepdims=True)

@@ -39,12 +39,21 @@ from hemx.train.optimizers import clip_params, init_optimizer
 class ConditionalGanBase(ModelPlugin):
     training_version = "gan"   # or "wgan"
     clip_value = 0.01
+    clip_generator = True  # wgan mode clips G too (paper_cgan.py:180-189)
 
     def __init__(self, args, mesh):
         super().__init__(args, mesh)
-        self.g_optimizer = init_optimizer(args)
-        self.d_optimizer = init_optimizer(args)
+        self.training_version = getattr(args, "training_version",
+                                        type(self).training_version)
+        self.g_optimizer = self.make_g_optimizer()
+        self.d_optimizer = self.make_d_optimizer()
         self._nets = None
+
+    def make_g_optimizer(self):
+        return init_optimizer(self.args)
+
+    def make_d_optimizer(self):
+        return init_optimizer(self.args)
 
     # ------------------------------------------------------------------ hooks
     def build_nets(self, prep: dict) -> dict:
@@ -85,6 +94,15 @@ class ConditionalGanBase(ModelPlugin):
                                                   pair, ctx)
         return h, ms
 
+    def d_init_shape(self, prep: dict):
+        """Shape passed to discriminator.init (default: the channel-concat)."""
+        d_x = prep.get("d_x", prep["g_input"])
+        return tuple(d_x.shape[:-1]) + (d_x.shape[-1] + prep["y"].shape[-1],)
+
+    def g_init_input(self, prep: dict):
+        """Input (or shape source) for generator.init."""
+        return prep["g_input"]
+
     # --------------------------------------------------------------- plumbing
     def init_state(self, rng, sample_batch) -> dict:
         batch = {k: jnp.asarray(np.asarray(v)) for k, v in sample_batch.items()}
@@ -92,11 +110,11 @@ class ConditionalGanBase(ModelPlugin):
                                        rng=jax.random.PRNGKey(0)))
         self._nets = self.build_nets(prep)
         kg, kd = jax.random.split(rng)
-        g_in_shape = tuple(prep["g_input"].shape)
+        g_in = self.g_init_input(prep)
+        g_in_shape = tuple(g_in[0].shape if isinstance(g_in, tuple)
+                           else g_in.shape)
         gp, gs, g_out = self._nets["generator"].init(kg, g_in_shape)
-        d_x = prep.get("d_x", prep["g_input"])
-        d_in_shape = tuple(d_x.shape[:-1]) + (d_x.shape[-1] + prep["y"].shape[-1],)
-        dp, ds, _ = self._nets["discriminator"].init(kd, d_in_shape)
+        dp, ds, _ = self._nets["discriminator"].init(kd, self.d_init_shape(prep))
         params = {"generator": gp, "discriminator": dp}
         mstate = {"generator": gs, "discriminator": ds}
         opt = {"g": self.g_optimizer.init(gp), "d": self.d_optimizer.init(dp)}
@@ -178,6 +196,8 @@ class ConditionalGanBase(ModelPlugin):
             new_g, new_opt_g = common.apply_updates_group(
                 self.g_optimizer, grads, ts["opt"]["g"],
                 ts["params"]["generator"])
+            if self.training_version == "wgan" and self.clip_generator:
+                new_g = clip_params(new_g, self.clip_value)
             metrics = {"g_loss": g_total, "g_gan": g_gan,
                        **extra_metrics, **self.extra_losses(g, prep)}
             if check:

@@ -90,21 +90,23 @@ def deconv2d_op(x, kernel, out_hw: Tuple[int, int], stride: int = 2,
     kh, kw, out_ch, in_ch = kernel.shape
     n, h, w, c = x.shape
     oh, ow = out_hw
-    if padding == "SAME":
-        pad_h = max((h - 1) * stride + kh - oh, 0)
-        pad_w = max((w - 1) * stride + kw - ow, 0)
-    else:  # VALID
-        pad_h = (h - 1) * stride + kh - oh
-        pad_w = (w - 1) * stride + kw - ow
+    pad_h = (h - 1) * stride + kh - oh
+    pad_w = (w - 1) * stride + kw - ow
+    # TF semantics: any of the `stride` valid output sizes may be requested
+    # (floor division in the forward conv). Sizes beyond the natural
+    # transpose size get zero rows/cols at the bottom/right — those input
+    # positions were never touched by the forward conv, so their gradient
+    # (== the transpose result) is zero.
+    extra_h, extra_w = max(-pad_h, 0), max(-pad_w, 0)
+    pad_h, pad_w = max(pad_h, 0), max(pad_w, 0)
     # transpose of conv = conv with input dilation `stride`, flipped kernel,
     # swapped in/out channels, padding (k-1-lo, k-1-hi).
     lo_h, hi_h = pad_h // 2, pad_h - pad_h // 2
     lo_w, hi_w = pad_w // 2, pad_w - pad_w // 2
     k = jnp.flip(kernel, (0, 1))            # [H, W, out, in]
-    k = jnp.transpose(k, (0, 1, 3, 2))      # -> HWIO with I=in? no: swap below
-    # After the flip, contracting over `in_ch` and producing `out_ch` means the
-    # HWIO layout we feed lax is [H, W, in_ch, out_ch]:
-    return lax.conv_general_dilated(
+    # contracting over in_ch and producing out_ch -> HWIO = [H, W, in, out]
+    k = jnp.transpose(k, (0, 1, 3, 2))
+    y = lax.conv_general_dilated(
         x, k,
         window_strides=(1, 1),
         padding=((kh - 1 - lo_h, kh - 1 - hi_h), (kw - 1 - lo_w, kw - 1 - hi_w)),
@@ -112,6 +114,9 @@ def deconv2d_op(x, kernel, out_hw: Tuple[int, int], stride: int = 2,
         dimension_numbers=_CONV_DIMS,
         precision=_PRECISION,
     )
+    if extra_h or extra_w:
+        y = jnp.pad(y, ((0, 0), (0, extra_h), (0, extra_w), (0, 0)))
+    return y
 
 
 def batch_norm_op(x, mean, var, beta, gamma, eps: float = 1e-3):

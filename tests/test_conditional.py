@@ -69,3 +69,72 @@ class TestMeanDepthEstimator:
         pred = np.asarray(jax.device_get(model.predict_mean(ts, batch)))
         assert pred.shape[1] == 1
         assert (pred >= 0).all() and (pred <= 1).all()  # sigmoid output
+
+
+class TestSamplerGan:
+    @pytest.mark.parametrize("darch", ["early", "late"])
+    def test_train_step(self, darch):
+        args, mesh, model, ts, batch = _setup(
+            "sampler_gan", synthetic_shape=[65, 65, 3], batch_size=2,
+            garch="small", darch=darch, batch_norm_disc=False,
+            batch_norm_gen=False, n_disc_train=1)
+        ts, m = model.train(ts, iter([batch, batch]))
+        for k in ("g_loss", "d_loss", "rmse", "l1"):
+            assert np.isfinite(float(jax.device_get(m[k]))), k
+
+    def test_garch_large(self):
+        args, mesh, model, ts, batch = _setup(
+            "sampler_gan", synthetic_shape=[65, 65, 3], batch_size=2,
+            garch="large", darch="early", batch_norm_disc=False,
+            batch_norm_gen=True, n_disc_train=1)
+        ts, m = model.train(ts, iter([batch, batch]))
+        assert np.isfinite(float(jax.device_get(m["g_loss"])))
+
+    def test_depth_crop_31(self):
+        args, mesh, model, ts, batch = _setup(
+            "sampler_gan", synthetic_shape=[65, 65, 3], batch_size=2,
+            garch="small", darch="early", batch_norm_disc=False,
+            batch_norm_gen=False, n_disc_train=1)
+        g, prep = model._jit_predict(ts, batch)
+        assert tuple(prep["y"].shape[1:]) == (31, 31, 1)
+        assert tuple(np.asarray(g).shape[1:]) == (31, 31, 1)
+
+
+class TestPaperCgan:
+    @pytest.mark.parametrize("version", ["baseline", "mean_adjusted",
+                                         "mean_provided", "mean_provided2"])
+    def test_model_versions(self, version):
+        args, mesh, model, ts, batch = _setup(
+            "paper_cgan", synthetic_shape=[65, 65, 3], batch_size=2,
+            model_version=version, training_version="gan",
+            g_lr=1e-4, d_lr=1e-4, g_beta1=0.5, d_beta1=0.5,
+            g_beta2=0.999, d_beta2=0.999)
+        ts, m = model.train(ts, iter([batch, batch]))
+        for k in ("g_loss", "d_loss", "rmse"):
+            assert np.isfinite(float(jax.device_get(m[k]))), k
+        g, prep = model._jit_predict(ts, batch)
+        assert tuple(np.asarray(g).shape[1:]) == (29, 29, 1)
+        # depth is in meters (0..10 scale)
+        assert float(jax.device_get(prep["y"]).max()) > 1.0
+
+    def test_wgan_training(self):
+        args, mesh, model, ts, batch = _setup(
+            "paper_cgan", synthetic_shape=[65, 65, 3], batch_size=2,
+            model_version="mean_adjusted", training_version="wgan",
+            g_lr=1e-4, d_lr=1e-4, g_beta1=0.5, d_beta1=0.5,
+            g_beta2=0.999, d_beta2=0.999)
+        assert model.n_disc_train == 5
+        ts, m = model.train(ts, iter([batch] * 6))
+        # wgan clips both G and D to +-0.01
+        for leaf in jax.tree_util.tree_leaves(ts["params"]):
+            arr = np.asarray(jax.device_get(leaf))
+            assert abs(arr).max() <= 0.01 + 1e-6
+
+    def test_eigen_metrics(self):
+        args, mesh, model, ts, batch = _setup(
+            "paper_cgan", synthetic_shape=[65, 65, 3], batch_size=2,
+            model_version="baseline", training_version="gan",
+            g_lr=1e-4, d_lr=1e-4, g_beta1=0.5, d_beta1=0.5,
+            g_beta2=0.999, d_beta2=0.999)
+        m = model.eigen_metrics_for(ts, batch)
+        assert set(m) >= {"linear_rmse", "log_rmse", "t1", "t2", "t3"}
