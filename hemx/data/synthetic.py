@@ -57,9 +57,20 @@ class SyntheticDataset(DataPlugin):
         n = getattr(args, "synthetic_count", 1024)
         h, w, c = getattr(args, "synthetic_shape", [64, 64, 3])
         splits = {}
+        ys = np.linspace(0.0, 1.0, h, dtype=np.float32)
+        xs = np.linspace(0.0, 1.0, w, dtype=np.float32)
         for i, split in enumerate(("train", "validate", "test")):
             images = _make_images(n, h, w, c, seed=args.seed + i)
             depth = images.mean(axis=3, keepdims=True) * 0.9 + 0.05
-            src = ArraySource({"image": images, "depth": depth})
+            # NYUv2-style auxiliary channels so location/mean-conditioned
+            # models (improved_sampler C1/D1/E1, paper variants) run here too
+            y_loc = np.broadcast_to(ys[None, :, None, None],
+                                    (n, h, w, 1)).astype(np.float32).copy()
+            x_loc = np.broadcast_to(xs[None, None, :, None],
+                                    (n, h, w, 1)).astype(np.float32).copy()
+            mean = np.broadcast_to(depth.mean(axis=(1, 2, 3), keepdims=True),
+                                   depth.shape).astype(np.float32).copy()
+            src = ArraySource({"image": images, "depth": depth,
+                               "x_loc": x_loc, "y_loc": y_loc, "mean": mean})
             splits[split] = Split(src, name=split)
         return splits

@@ -138,3 +138,30 @@ class TestPaperCgan:
             g_beta2=0.999, d_beta2=0.999)
         m = model.eigen_metrics_for(ts, batch)
         assert set(m) >= {"linear_rmse", "log_rmse", "t1", "t2", "t3"}
+
+
+class TestImprovedSampler:
+    PAIRS = [("A1", "A1", 65), ("A2", "A1", 65), ("A3", "A1", 65),
+             ("B1", "B1", 66), ("C1", "C1", 66),
+             ("B2", "B2", 64), ("D1", "D1", 64), ("E1", "E1", 64)]
+
+    @pytest.mark.parametrize("g_arch,d_arch,size", PAIRS)
+    def test_archs(self, g_arch, d_arch, size):
+        args, mesh, model, ts, batch = _setup(
+            "improved_sampler", synthetic_shape=[size, size, 3], batch_size=2,
+            g_arch=g_arch, d_arch=d_arch, g_sparsity=False, g_rmse=False)
+        ts, m = model.train(ts, iter([batch]))
+        for k in ("g_loss", "d_loss", "rmse", "l1"):
+            assert np.isfinite(float(jax.device_get(m[k]))), (g_arch, k)
+        g, prep = model._jit_predict(ts, batch)
+        expected = 31 if g_arch in ("A1", "A2", "A3", "B1", "C1") else 32
+        assert tuple(np.asarray(g).shape[1:]) == (expected, expected, 1), g_arch
+        assert tuple(prep["y"].shape[1:]) == (expected, expected, 1)
+
+    def test_sparsity_and_rmse_terms(self):
+        args, mesh, model, ts, batch = _setup(
+            "improved_sampler", synthetic_shape=[65, 65, 3], batch_size=2,
+            g_arch="A3", d_arch="A1", g_sparsity=True, g_rmse=True)
+        ts, m = model.train(ts, iter([batch]))
+        assert "sparsity_term" in m
+        assert np.isfinite(float(jax.device_get(m["g_loss"])))
