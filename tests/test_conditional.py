@@ -165,3 +165,74 @@ class TestImprovedSampler:
         ts, m = model.train(ts, iter([batch]))
         assert "sparsity_term" in m
         assert np.isfinite(float(jax.device_get(m["g_loss"])))
+
+
+_PAPER_ADAM = dict(g_lr=1e-4, d_lr=1e-4, g_beta1=0.5, d_beta1=0.9,
+                   g_beta2=0.999, d_beta2=0.999)
+
+
+class TestPaperFamily:
+    @pytest.mark.parametrize("site", ["x", "e1", "e3", "e4", "e4-512", "d2",
+                                      "d4"])
+    def test_paper_sampler_noise_sites(self, site):
+        args, mesh, model, ts, batch = _setup(
+            "paper_sampler", synthetic_shape=[65, 65, 3], batch_size=2,
+            noise_layer=site, e_bn=False, **_PAPER_ADAM)
+        ts, m = model.train(ts, iter([batch, batch]))
+        for k in ("g_loss", "d_loss", "rmse"):
+            assert np.isfinite(float(jax.device_get(m[k]))), (site, k)
+
+    def test_paper_sampler_summaries_with_metrics(self, tmp_path):
+        args, mesh, model, ts, batch = _setup(
+            "paper_sampler", synthetic_shape=[65, 65, 3], batch_size=2,
+            noise_layer="x", e_bn=False, **_PAPER_ADAM)
+        model.mean_image = np.full((29, 29), 0.5, np.float32)
+        from hemx.summaries.events import EventsWriter
+        from hemx.summaries.reader import get_all_events
+        w = EventsWriter(str(tmp_path))
+        model.write_summaries(w, 1, ts, batch)
+        w.close()
+        tags = set(get_all_events(str(tmp_path)))
+        assert any(t.startswith("metrics_y_hat/") for t in tags)
+        assert any(t.startswith("metrics_y_mean/") for t in tags)
+        assert any(t.startswith("metrics_y_sampler/") for t in tags)
+
+    def test_paper_noise(self):
+        args, mesh, model, ts, batch = _setup(
+            "paper_noise", synthetic_shape=[65, 65, 3], batch_size=2,
+            model_version="baseline", **_PAPER_ADAM)
+        ts, m = model.train(ts, iter([batch, batch]))
+        assert np.isfinite(float(jax.device_get(m["g_loss"])))
+
+    @pytest.mark.parametrize("version", ["baseline", "mean_adjusted",
+                                         "mean_provided"])
+    def test_paper_baseline_sampler(self, version):
+        args, mesh, model, ts, batch = _setup(
+            "paper_baseline_sampler", synthetic_shape=[65, 65, 3],
+            batch_size=2, model_version=version, training_version="gan",
+            **_PAPER_ADAM)
+        ts, m = model.train(ts, iter([batch, batch]))
+        assert np.isfinite(float(jax.device_get(m["g_loss"])))
+
+    @pytest.mark.parametrize("version", ["baseline", "mean_adjusted",
+                                         "mean_provided", "mean_provided2"])
+    def test_paper_standalone(self, version):
+        args, mesh, model, ts, batch = _setup(
+            "paper_standalone", synthetic_shape=[65, 65, 3], batch_size=2,
+            model_version=version, g_lr=1e-4, g_beta1=0.5, g_beta2=0.999)
+        first = None
+        for _ in range(4):
+            ts, m = model.train(ts, iter([batch]))
+            loss = float(jax.device_get(m["rmse"]))
+            if first is None:
+                first = loss
+        assert np.isfinite(loss)
+        assert loss < first  # supervised loss should fall fast
+
+    def test_paper_baseline_standalone(self):
+        args, mesh, model, ts, batch = _setup(
+            "paper_baseline_standalone", synthetic_shape=[65, 65, 3],
+            batch_size=2, model_version="mean_adjusted",
+            g_lr=1e-4, g_beta1=0.5, g_beta2=0.999)
+        ts, m = model.train(ts, iter([batch]))
+        assert np.isfinite(float(jax.device_get(m["rmse"])))
