@@ -236,3 +236,57 @@ class TestPaperFamily:
             g_lr=1e-4, g_beta1=0.5, g_beta2=0.999)
         ts, m = model.train(ts, iter([batch]))
         assert np.isfinite(float(jax.device_get(m["rmse"])))
+
+
+class TestArtist:
+    def test_train_and_losses(self):
+        args, mesh, model, ts, batch = _setup(
+            "artist", synthetic_shape=[65, 65, 3], batch_size=2)
+        ts, m = model.train(ts, iter([batch, batch]))
+        for k in ("x_loss", "y_loss", "y_hat_rmse"):
+            assert np.isfinite(float(jax.device_get(m[k]))), k
+        # x step must not change encoder params (donation deletes inputs, so
+        # materialize the before-values to host first)
+        enc_before = [np.asarray(jax.device_get(l)) for l in
+                      jax.tree_util.tree_leaves(ts["params"]["encoder"])]
+        ts2, _ = model._jit_x(ts, batch)
+        enc_after = jax.tree_util.tree_leaves(ts2["params"]["encoder"])
+        for a, b in zip(enc_before, enc_after):
+            np.testing.assert_array_equal(a, np.asarray(jax.device_get(b)))
+
+
+class TestInfoGan:
+    def test_train(self):
+        args, mesh, model, ts, batch = _setup(
+            "info_gan", synthetic_shape=[64, 64, 3], batch_size=2)
+        ts, m = model.train(ts, iter([batch] * 3))
+        for k in ("g_loss", "d_loss", "q_loss"):
+            assert np.isfinite(float(jax.device_get(m[k]))), k
+
+
+class TestExperimentalSampler:
+    def test_composed_with_estimator(self):
+        est_args, mesh, est, est_ts, batch = _setup(
+            "mean_depth_estimator", synthetic_shape=[64, 64, 3], batch_size=2)
+        args2, _, model, ts, batch2 = _setup(
+            "experimental_sampler", synthetic_shape=[64, 64, 3], batch_size=2,
+            g_sparsity=False, g_rmse=False)
+        model.set_estimator(est, est_ts)
+        ts = model.init_state(jax.random.PRNGKey(1), jax.device_get(batch2))
+        ts, m = model.train(ts, iter([batch2]))
+        assert np.isfinite(float(jax.device_get(m["g_loss"])))
+
+    def test_uncomposed_fallback(self):
+        args, mesh, model, ts, batch = _setup(
+            "experimental_sampler", synthetic_shape=[64, 64, 3], batch_size=2,
+            g_sparsity=False, g_rmse=False)
+        ts, m = model.train(ts, iter([batch]))
+        assert np.isfinite(float(jax.device_get(m["d_loss"])))
+
+
+class TestFakePlugin:
+    def test_registered(self):
+        from hemx.models.plugin import get_model
+        cls = get_model("test")
+        assert cls is not None
+        assert "--test_arg" in cls.arguments()
