@@ -18,10 +18,12 @@ from typing import Iterator
 
 from hemx.summaries.crc32c import masked_crc32c
 
-try:  # optional C++ fast path (hemx/native); pure-python fallback below
-    from hemx.data._native import read_tfrecord_offsets  # type: ignore
-except Exception:  # pragma: no cover
-    read_tfrecord_offsets = None
+
+def _native():
+    """Optional C++ fast path (hemx/native, built on demand); None if the
+    toolchain is unavailable — every caller has a pure-python fallback."""
+    from hemx import native
+    return native.load()
 
 
 class TFRecordWriter:
@@ -66,8 +68,11 @@ def tfrecord_iterator(path: str, verify: bool = False) -> Iterator[bytes]:
             yield record
 
 
-def read_all_records(path: str) -> list[bytes]:
-    return list(tfrecord_iterator(path))
+def read_all_records(path: str, verify: bool = False) -> list[bytes]:
+    native = _native()
+    if native is not None:
+        return native.read_all_records(path, verify)
+    return list(tfrecord_iterator(path, verify))
 
 
 def count_records(path: str) -> int:
@@ -81,6 +86,15 @@ def count_records(path: str) -> int:
                 return int(f.read().strip())
     except (OSError, ValueError):
         pass
+    native = _native()
+    if native is not None:
+        n = int(native.count_records(path))
+        try:
+            with open(cache, "w") as f:
+                f.write(str(n))
+        except OSError:
+            pass
+        return n
     n = 0
     with open(path, "rb") as f:
         while True:

@@ -16,11 +16,32 @@ for _i in range(256):
     _TABLE.append(_c)
 
 
-def crc32c(data: bytes, crc: int = 0) -> int:
+def _py_crc32c(data: bytes, crc: int = 0) -> int:
     crc ^= 0xFFFFFFFF
     for b in data:
         crc = _TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
+
+
+_native_crc = None
+
+
+def _load_native():
+    global _native_crc
+    if _native_crc is None:
+        try:
+            from hemx import native
+            mod = native.load()
+            _native_crc = mod.crc32c if mod is not None else _py_crc32c
+        except Exception:
+            _native_crc = _py_crc32c
+    return _native_crc
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    if crc == 0:
+        return int(_load_native()(data))
+    return _py_crc32c(data, crc)
 
 
 def masked_crc32c(data: bytes) -> int:

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Full-image inference from a patch model (reference: paper_fullimage.py).
+
+A 65x65-patch -> 29x29-depth model is applied to full images by sliding
+patches at several strides, batch-inferring through the jitted generator,
+and reassembling the overlapping 29x29 predictions with NaN-aware averaging
+(reference: build_batch :90-110, forward_inference :112-123, reconstruct
+:126-155). Per-stride RMSE and montage PNGs go to <dir>/fullimage/.
+
+TPU notes: patches are padded to a fixed chunk size so one compiled
+executable serves every stride (the reference padded to 1024-multiples and
+chunked by 512); reassembly is host-side numpy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import types
+
+import numpy as np
+
+import jax
+
+import hemx
+from hemx.config import load_options
+from hemx.models.plugin import get_model
+from hemx.parallel.dp import shard_batch
+from hemx.parallel.mesh import make_mesh
+from hemx.summaries.montage import to_uint8
+from hemx.summaries.png import encode_png
+from hemx.train.checkpoint import CheckpointManager
+
+PATCH = 65
+OUT = 29
+OUT_OFFSET = 17  # the 29x29 output corresponds to input pixels [17,46)
+
+
+def build_batch(image: np.ndarray, stride: int):
+    """Slide PATCH x PATCH windows at ``stride``; returns (patches, coords)
+    (reference: paper_fullimage.py:90-110)."""
+    h, w, _ = image.shape
+    patches, coords = [], []
+    for top in range(0, h - PATCH + 1, stride):
+        for left in range(0, w - PATCH + 1, stride):
+            patches.append(image[top:top + PATCH, left:left + PATCH])
+            coords.append((top, left))
+    return np.stack(patches), coords
+
+
+def forward_inference(model, ts, patches: np.ndarray, mesh, batch: dict,
+                      chunk: int = 512) -> np.ndarray:
+    """Run patches through the model generator in fixed-size chunks
+    (reference: paper_fullimage.py:112-123)."""
+    n = patches.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        patches = np.concatenate([patches,
+                                  np.repeat(patches[-1:], pad, axis=0)])
+    outs = []
+    template_depth = np.zeros((chunk,) + tuple(batch["depth"].shape[1:]),
+                              np.float32) + 0.5
+    extras = {k: np.repeat(np.asarray(v[:1]), chunk, axis=0)
+              for k, v in batch.items() if k not in ("image", "depth")}
+    for i in range(0, patches.shape[0], chunk):
+        fake_batch = {"image": patches[i:i + chunk],
+                      "depth": template_depth, **extras}
+        g, _ = model._jit_predict(ts, shard_batch(fake_batch, mesh))
+        outs.append(np.asarray(jax.device_get(g)))
+    return np.concatenate(outs)[:n]
+
+
+def reconstruct(shape, preds: np.ndarray, coords, depth_scale: float):
+    """NaN-aware overlap averaging of 29x29 outputs
+    (reference: paper_fullimage.py:126-155)."""
+    h, w = shape
+    total = np.zeros((h, w), np.float64)
+    count = np.zeros((h, w), np.float64)
+    for pred, (top, left) in zip(preds[..., 0], coords):
+        t = top + OUT_OFFSET
+        l = left + OUT_OFFSET
+        total[t:t + OUT, l:l + OUT] += pred
+        count[t:t + OUT, l:l + OUT] += 1
+    out = np.full((h, w), np.nan)
+    mask = count > 0
+    out[mask] = total[mask] / count[mask]
+    return out / depth_scale
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="hemx full-image inference")
+    parser.add_argument("--dir", required=True)
+    parser.add_argument("--split", default="test")
+    parser.add_argument("--n_scenes", type=int, default=8)
+    parser.add_argument("--strides", type=int, nargs="*",
+                        default=[10, 8, 6, 4, 2, 1])
+    parser.add_argument("--chunk", type=int, default=512)
+    a = parser.parse_args(argv)
+
+    opts = load_options(os.path.join(a.dir, "options.json"))
+    args = types.SimpleNamespace(**opts)
+    args.dir = a.dir
+    mesh = make_mesh(getattr(args, "n_devices", 1) or 1)
+    splits = hemx.get_dataset_tensors(args)
+    model = get_model(args.model)(args, mesh)
+    gb = args.batch_size * mesh.devices.size
+    host_batch = next(splits["train"].iter_epoch(gb, shuffle=False))
+    ts_init = model.init_state(jax.random.PRNGKey(args.seed), host_batch)
+    mgr = CheckpointManager(a.dir)
+    wrapper = mgr.restore({"train_state": ts_init, "epoch": np.int64(0)})
+    ts = wrapper["train_state"]
+
+    # depth scale: paper models predict meters (y*10); detect via prep
+    depth_scale = 10.0
+
+    split = splits[a.split]
+    scenes = next(split.iter_epoch(min(a.n_scenes, split.count),
+                                   shuffle=False))
+    out_dir = os.path.join(a.dir, "fullimage")
+    os.makedirs(out_dir, exist_ok=True)
+    for stride in a.strides:
+        rmses = []
+        for s in range(scenes["image"].shape[0]):
+            image = np.asarray(scenes["image"][s])
+            depth = np.asarray(scenes["depth"][s])[..., 0]
+            if image.shape[0] < PATCH or image.shape[1] < PATCH:
+                hemx.message(f"scene smaller than {PATCH}px; skipping",
+                             hemx.WARNING)
+                return 0
+            patches, coords = build_batch(image, stride)
+            preds = forward_inference(model, ts, patches, mesh, host_batch,
+                                      a.chunk)
+            recon = reconstruct(image.shape[:2], preds, coords, depth_scale)
+            valid = ~np.isnan(recon)
+            rmse = float(np.sqrt(np.mean(
+                (recon[valid] - depth[valid]) ** 2)))
+            rmses.append(rmse)
+            vis = np.where(np.isnan(recon), 0.0, recon)
+            with open(os.path.join(
+                    out_dir, f"scene{s}_stride{stride}.png"), "wb") as f:
+                f.write(encode_png(to_uint8(np.clip(vis, 0, 1))))
+        hemx.message(f"stride {stride}: mean rmse "
+                     f"{float(np.mean(rmses)):.4f} over {len(rmses)} scenes")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -148,3 +148,47 @@ class TestMontage:
         imgs = np.zeros((6, 10, 12, 3), np.float32)
         m = montage(imgs, grid=(2, 3), pad=1)
         assert m.shape == (2 * 11 + 1, 3 * 13 + 1, 3)
+
+
+class TestNative:
+    """C++ data-loader extension (hemx/native) vs pure-python reference."""
+
+    def _native(self):
+        from hemx import native
+        mod = native.load()
+        if mod is None:
+            pytest.skip("native toolchain unavailable")
+        return mod
+
+    def test_crc32c_matches_python(self):
+        mod = self._native()
+        from hemx.summaries.crc32c import _py_crc32c
+        for data in (b"", b"a", b"hello tfrecord", bytes(range(256)) * 7):
+            assert mod.crc32c(data) == _py_crc32c(data)
+
+    def test_read_write_roundtrip(self, tmp_path):
+        mod = self._native()
+        path = str(tmp_path / "native.tfrecords")
+        records = [b"first", b"x" * 1000, b"", b"last"]
+        mod.write_records(path, records)
+        # native wrote it; python reader must agree (format compat)
+        from hemx.data.tfrecord import tfrecord_iterator
+        assert list(tfrecord_iterator(path, verify=True)) == records
+        # and native reads what python writes
+        path2 = str(tmp_path / "py.tfrecords")
+        from hemx.data.tfrecord import TFRecordWriter
+        with TFRecordWriter(path2) as w:
+            for r in records:
+                w.write(r)
+        assert mod.read_all_records(path2, True) == records
+        assert mod.count_records(path2) == len(records)
+
+    def test_corrupt_crc_detected(self, tmp_path):
+        mod = self._native()
+        path = str(tmp_path / "bad.tfrecords")
+        mod.write_records(path, [b"payload"])
+        raw = bytearray(open(path, "rb").read())
+        raw[-6] ^= 0xFF  # flip a payload byte
+        open(path, "wb").write(bytes(raw))
+        with pytest.raises(OSError):
+            mod.read_all_records(path, True)
