@@ -19,7 +19,7 @@ import os
 import numpy as np
 
 from hemx.data.imageio import decode_image, resize_bilinear
-from hemx.data.pipeline import Split, TFRecordSource
+from hemx.data.pipeline import Split, TFRecordSource, u8_image_device_transform
 from hemx.data.plugin import DataPlugin, bytes_feature
 from hemx.data.tfrecord import TFRecordWriter
 from hemx.summaries import proto
@@ -50,8 +50,8 @@ def parse_example(record: bytes) -> dict:
 
 
 def _batch_transform(batch: dict) -> dict:
-    return {"image": batch["image"].astype(np.float32) / 255.0,
-            "attributes": batch["attributes"]}
+    # uint8 to the device; normalized on-chip (Pallas kernel)
+    return {"image": batch["image"], "attributes": batch["attributes"]}
 
 
 class CelebDataset(DataPlugin):
@@ -129,5 +129,6 @@ class CelebDataset(DataPlugin):
         for split, fname in _OUTPUT_FILES.items():
             src = TFRecordSource([os.path.join(storage, fname)], parse_example)
             splits[split] = Split(src, batch_transform=_batch_transform,
-                                  name=split)
+                                  name=split,
+                                  device_transform=u8_image_device_transform())
         return splits

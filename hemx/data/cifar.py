@@ -24,7 +24,7 @@ import urllib.request
 import numpy as np
 
 from hemx.data.imageio import resize_bilinear
-from hemx.data.pipeline import Split, TFRecordSource
+from hemx.data.pipeline import Split, TFRecordSource, u8_image_device_transform
 from hemx.data.plugin import DataPlugin, bytes_feature
 from hemx.data.tfrecord import TFRecordWriter
 from hemx.summaries import proto
@@ -106,12 +106,15 @@ class CifarDataset(DataPlugin):
             imgs = batch["image"]
             if resize:
                 imgs = np.stack([resize_bilinear(i, resize, resize) for i in imgs])
-            return {"image": imgs.astype(np.float32) / 255.0}
+            # uint8 to the device; normalized on-chip (Pallas kernel)
+            return {"image": imgs}
 
         splits = {}
         for split, fname in _OUTPUT_FILES.items():
             src = TFRecordSource([os.path.join(storage, fname)], parse_example)
-            splits[split] = Split(src, batch_transform=transform, name=split)
+            splits[split] = Split(src, batch_transform=transform, name=split,
+                                  device_transform=u8_image_device_transform())
         splits["validate"] = Split(splits["test"].source,
-                                   batch_transform=transform, name="validate")
+                                   batch_transform=transform, name="validate",
+                                   device_transform=u8_image_device_transform())
         return splits

@@ -16,7 +16,7 @@ import urllib.request
 
 import numpy as np
 
-from hemx.data.pipeline import Split, TFRecordSource
+from hemx.data.pipeline import Split, TFRecordSource, u8_image_device_transform
 from hemx.data.plugin import DataPlugin, bytes_feature, int64_feature
 from hemx.data.tfrecord import TFRecordWriter
 from hemx.summaries import proto
@@ -50,8 +50,9 @@ def parse_example(record: bytes) -> dict:
 
 
 def _batch_transform(batch: dict) -> dict:
-    return {"image": batch["image"].astype(np.float32) / 255.0,
-            "label": batch["label"]}
+    # images stay uint8 on the host; normalization runs on-device
+    # (hemx.data.pipeline.u8_image_device_transform -> Pallas kernel)
+    return {"image": batch["image"], "label": batch["label"]}
 
 
 class MnistDataset(DataPlugin):
@@ -103,8 +104,10 @@ class MnistDataset(DataPlugin):
             src = TFRecordSource([os.path.join(storage, f"{split}.tfrecords")],
                                  parse_example)
             splits[split] = Split(src, batch_transform=_batch_transform,
-                                  name=split)
+                                  name=split,
+                                  device_transform=u8_image_device_transform())
         splits["validate"] = Split(splits["test"].source,
                                    batch_transform=_batch_transform,
-                                   name="validate")
+                                   name="validate",
+                                   device_transform=u8_image_device_transform())
         return splits

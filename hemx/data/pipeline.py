@@ -92,10 +92,16 @@ class Split:
     """
 
     def __init__(self, source, *, batch_transform: Optional[Callable] = None,
-                 name: str = "train", transform_needs_rng: bool = False):
+                 name: str = "train", transform_needs_rng: bool = False,
+                 device_transform: Optional[Callable] = None):
         self.source = source
         self.batch_transform = batch_transform
         self.name = name
+        # device_transform: jittable dict->dict applied AFTER device
+        # placement. Datasets use it to ship compact uint8 images over the
+        # host->device link and normalize on-chip (hemx.ops.pallas_kernels;
+        # replaces the reference's host-side /255 in tf.data map fns)
+        self.device_transform = device_transform
         # transform_needs_rng: batch_transform takes (batch, rng) and applies
         # per-draw augmentation (e.g. NYUv2 joint random crops, which the
         # reference re-sampled every epoch via tf.random_crop in the map fn —
@@ -130,6 +136,32 @@ class Split:
                 else:
                     batch = self.batch_transform(batch)
             yield batch
+
+
+def u8_image_device_transform(keys=("image",), lo: float = 0.0,
+                              hi: float = 1.0):
+    """Standard device transform: uint8 image channels -> float [lo, hi]
+    via the Pallas/VPU kernel (hemx.ops.pallas_kernels.u8_normalize)."""
+    def transform(batch: dict) -> dict:
+        from hemx.ops.pallas_kernels import u8_normalize
+        out = dict(batch)
+        for k in keys:
+            if k in out:
+                out[k] = u8_normalize(out[k], lo, hi)
+        return out
+    return transform
+
+
+def make_place(mesh, split=None):
+    """Host batch -> sharded device batch (+ the split's device transform)."""
+    import jax
+    from hemx.parallel.dp import shard_batch
+
+    dt = getattr(split, "device_transform", None) if split is not None else None
+    if dt is None:
+        return lambda b: shard_batch(b, mesh)
+    jdt = jax.jit(dt)
+    return lambda b: jdt(shard_batch(b, mesh))
 
 
 class Pipeline:

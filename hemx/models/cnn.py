@@ -75,6 +75,10 @@ class CnnModel(ModelPlugin):
     def _forward(self, params, mstate, x, ctx: Ctx):
         x = 2.0 * (x - 0.5)  # rescale to [-1,1] (models/cnn.py:31-32)
         d, new_mstate = self._net.apply(params, mstate, x, ctx)
+        # non-multiple-of-16 inputs (e.g. 28px MNIST): the decoder produces
+        # the next multiple of 16; crop back (the reference sidestepped this
+        # by resizing every dataset to 64x64 — data.py:44)
+        d = d[:, :x.shape[1], :x.shape[2], :]
         loss = jnp.mean(jnp.abs(x - d))
         return d, loss, new_mstate
 

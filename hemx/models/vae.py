@@ -92,6 +92,8 @@ class VaeModel(ModelPlugin):
         z = z_mean + z_stddev * eps
         d_real, new_mstate["decoder"] = nets["decoder"].apply(
             params["decoder"], mstate["decoder"], z, ctx)
+        # crop to the input size for non-multiple-of-16 images (see cnn.py)
+        d_real = d_real[:, :x.shape[1], :x.shape[2], :]
         return d_real, z_mean, z_stddev, eps, new_mstate
 
     def _losses(self, x, d_real, z_mean, z_stddev):

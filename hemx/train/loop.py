@@ -24,15 +24,12 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
-
 import jax
 import numpy as np
 
 from hemx.config import init_working_dir
 from hemx.models import common
-from hemx.parallel.dp import shard_batch
-from hemx.data.pipeline import Pipeline
+from hemx.data.pipeline import Pipeline, make_place
 from hemx.summaries.events import SummaryWriterSet
 from hemx.train.checkpoint import CheckpointManager
 from hemx.utils import terminal as term
@@ -58,9 +55,8 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
     ckpt = CheckpointManager(args.dir, args.max_to_keep)
     writers = SummaryWriterSet(args.dir)
     global_batch = args.batch_size * mesh.size
-    place = partial(shard_batch, mesh=mesh)
-
     train_split = splits["train"]
+    place = make_place(mesh, train_split)
     batches = train_split.batches_per_epoch(global_batch)
     if args.epoch_size > 0:
         batches = min(batches, args.epoch_size)
@@ -162,7 +158,7 @@ def inference(model, ts, split, args, mesh, writer, step: int, *,
     """Average eval losses over a split and write one summary
     (reference: hem/util/misc.py:85-93)."""
     global_batch = args.batch_size * mesh.size
-    place = partial(shard_batch, mesh=mesh)
+    place = make_place(mesh, split)
     n = split.batches_per_epoch(global_batch)
     if max_batches:
         n = min(n, max_batches)

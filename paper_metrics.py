@@ -28,7 +28,7 @@ import hemx
 from hemx.config import load_options
 from hemx.metrics.eigen import EigenAccumulator, eigen_metrics
 from hemx.models.plugin import get_model
-from hemx.parallel.dp import shard_batch
+from hemx.data.pipeline import make_place
 from hemx.parallel.mesh import make_mesh
 from hemx.summaries.montage import to_uint8
 from hemx.summaries.png import encode_png
@@ -38,12 +38,13 @@ from hemx.train.checkpoint import CheckpointManager
 def evaluate_split(model, ts, split, args, mesh, mean_image=None,
                    max_batches: int | None = None) -> dict:
     gb = args.batch_size * mesh.devices.size
+    place = make_place(mesh, split)
     accs = {"y_hat": EigenAccumulator(), "y_0": EigenAccumulator()}
     if mean_image is not None:
         accs["y_mean"] = EigenAccumulator()
     n = 0
     for batch in split.iter_epoch(gb, shuffle=False):
-        g, prep = model._jit_predict(ts, shard_batch(batch, mesh))
+        g, prep = model._jit_predict(ts, place(batch))
         y = np.asarray(jax.device_get(prep["y"])) / 10.0
         y_hat = np.asarray(jax.device_get(g)) / 10.0
         y_bar = y.mean(axis=(1, 2, 3), keepdims=True)

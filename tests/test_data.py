@@ -49,9 +49,17 @@ class TestMnist:
         splits = MnistDataset.get_datasets(args)
         batch = next(splits["train"].iter_epoch(4, shuffle=False))
         assert batch["image"].shape == (4, 28, 28, 1)
-        assert batch["image"].dtype == np.float32
-        assert 0.0 <= batch["image"].min() and batch["image"].max() <= 1.0
+        # host batches are compact uint8; normalization happens on-device
+        assert batch["image"].dtype == np.uint8
         assert batch["label"].shape == (4,)
+        dt = splits["train"].device_transform
+        norm = dt({"image": batch["image"]})
+        import numpy as _np
+        arr = _np.asarray(norm["image"])
+        assert arr.dtype == _np.float32
+        assert 0.0 <= arr.min() and arr.max() <= 1.0
+        _np.testing.assert_allclose(
+            arr, batch["image"].astype(_np.float32) / 255.0, atol=1e-6)
 
 
 class TestCifar:
@@ -117,7 +125,7 @@ class TestFloorplan:
         splits = FloorplanDataset.get_datasets(args)
         batch = next(splits["train"].iter_epoch(2, shuffle=False))
         assert batch["image"].shape == (2, 64, 64, 3)
-        assert batch["image"].max() <= 1.0
+        assert batch["image"].dtype == np.uint8
 
 
 class TestCeleb:

@@ -31,7 +31,7 @@ import hemx
 from hemx.config import load_options
 from hemx.core import Ctx
 from hemx.models.plugin import get_model
-from hemx.parallel.dp import shard_batch
+from hemx.data.pipeline import make_place
 from hemx.parallel.mesh import make_mesh
 from hemx.summaries.montage import factorization, montage, to_uint8
 from hemx.summaries.png import encode_png
@@ -76,8 +76,9 @@ def visualize_samples(run, out_dir: str) -> None:
     n = getattr(args, "examples", 64)
     samples = _model_samples(model, ts, n, jax.random.PRNGKey(0))
     if samples is None and hasattr(model, "_jit_recon"):
+        place = make_place(mesh, splits["train"])
         samples = np.asarray(jax.device_get(
-            model._jit_recon(ts, shard_batch(batch, mesh))))[:n]
+            model._jit_recon(ts, place(batch))))[:n]
     if samples is not None:
         _save(out_dir, "samples.png", montage(samples))
         hemx.message(f"wrote {out_dir}/samples.png")
