@@ -60,6 +60,13 @@ def build_base_parser() -> CustomArgumentParser:
     misc.add_argument("--check_numerics", action="store_true", default=False,
                       help="Check gradients for NaN/Inf each step and abort with the "
                            "offending parameter named (reference: hem/util/training.py:52-53).")
+    misc.add_argument("--debug_nans", action="store_true", default=False,
+                      help="Enable jax_debug_nans: raise at the first NaN-producing "
+                           "op anywhere (slower; finer-grained than --check_numerics).")
+    misc.add_argument("--summarize_weights", action="store_true", default=False,
+                      help="Write per-parameter histograms + means at each epoch end "
+                           "(the reference's per-layer weight summaries, "
+                           "hem/ops/summaries.py:52-61 — opt-in, they are large).")
     misc.add_argument("--model", type=str.lower, default="cnn",
                       help="Model plugin to train.")
     misc.add_argument("--examples", type=int, default=64,

@@ -110,7 +110,7 @@ class CnnModel(ModelPlugin):
                 loss_fn, has_aux=True)(ts["params"])
             new_params, new_opt = common.apply_updates_group(
                 self.optimizer, grads, ts["opt"], ts["params"])
-            metrics = {"loss": loss}
+            metrics = {"loss": loss, "grad_norm": common.grad_norm(grads)}
             if check:
                 metrics["grad_finite"] = common.grad_finite_report(grads)
             new_ts = {**ts, "params": new_params, "mstate": new_mstate,

@@ -68,6 +68,14 @@ def raise_on_bad_grads(metrics: dict) -> None:
             "GRADIENT ERROR (NaN/Inf) on parameter(s): " + ", ".join(sorted(bad)))
 
 
+def grad_norm(grads):
+    """Global L2 norm of a gradient pytree — the cheap always-on gradient
+    observability scalar (the reference logged per-variable gradient means,
+    hem/ops/summaries.py:64-75; one global norm is the TPU-friendly form)."""
+    import optax
+    return optax.global_norm(grads)
+
+
 def apply_updates_group(optimizer: optax.GradientTransformation, grads,
                         opt_state, params):
     updates, new_opt = optimizer.update(grads, opt_state, params)

@@ -165,7 +165,9 @@ class ConditionalGanBase(ModelPlugin):
                 ts["params"]["discriminator"])
             if self.training_version == "wgan":
                 new_d = clip_params(new_d, self.clip_value)
-            metrics = {"d_loss": d_loss, "d_real": d_real, "d_fake": d_fake}
+            metrics = {"d_loss": d_loss, "d_real": d_real,
+                       "d_fake": d_fake,
+                       "d_grad_norm": common.grad_norm(grads)}
             if check:
                 metrics["grad_finite"] = common.grad_finite_report({"d": grads})
             new_ts = {**ts,
@@ -199,6 +201,7 @@ class ConditionalGanBase(ModelPlugin):
             if self.training_version == "wgan" and self.clip_generator:
                 new_g = clip_params(new_g, self.clip_value)
             metrics = {"g_loss": g_total, "g_gan": g_gan,
+                       "g_grad_norm": common.grad_norm(grads),
                        **extra_metrics, **self.extra_losses(g, prep)}
             if check:
                 metrics["grad_finite"] = common.grad_finite_report({"g": grads})

@@ -96,7 +96,8 @@ class MeanDepthEstimator(ModelPlugin):
                 loss_fn, has_aux=True)(ts["params"])
             new_params, new_opt = common.apply_updates_group(
                 self.optimizer, grads, ts["opt"], ts["params"])
-            metrics = {"m_loss": loss}
+            metrics = {"m_loss": loss,
+                       "m_grad_norm": common.grad_norm(grads)}
             if check:
                 metrics["grad_finite"] = common.grad_finite_report(grads)
             return ({**ts, "params": new_params, "mstate": new_mstate,

@@ -141,6 +141,7 @@ class VaeModel(ModelPlugin):
             new_params, new_opt = common.apply_updates_group(
                 self.optimizer, grads, ts["opt"], ts["params"])
             metrics = dict(losses)
+            metrics["grad_norm"] = common.grad_norm(grads)
             if check:
                 metrics["grad_finite"] = common.grad_finite_report(grads)
             new_ts = {**ts, "params": new_params, "mstate": new_mstate,

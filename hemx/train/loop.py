@@ -86,12 +86,21 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
 
     stream = _continuous_stream(pipeline, current_epoch)
 
-    def write_train_summary(step: int, metrics: dict | None = None) -> None:
+    def write_train_summary(step: int, metrics: dict | None = None,
+                            end_of_epoch: bool = False) -> None:
         w = writers["train"]
         if metrics:
             w.scalars({f"losses/{k}": v for k, v in metrics.items()
                        if k != "grad_finite"}, step)
         model.write_summaries(w, step, ts, summary_batch)
+        if end_of_epoch and getattr(args, "summarize_weights", False):
+            flat = jax.tree_util.tree_flatten_with_path(ts["params"])[0]
+            for path, leaf in flat:
+                name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                                for p in path)
+                host = np.asarray(jax.device_get(leaf))
+                w.histogram(f"weights/{name}", host, step)
+                w.scalar(f"weights_mean/{name}", float(host.mean()), step)
 
     if int(jax.device_get(ts["step"])) == 0 and current_epoch == 0:
         term.message("Generating baseline summaries and checkpoint...")
@@ -132,7 +141,7 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
                 write_train_summary(int(jax.device_get(ts["step"])), host)
 
         step = int(jax.device_get(ts["step"]))
-        write_train_summary(step, running)
+        write_train_summary(step, running, end_of_epoch=True)
         ckpt.save({"train_state": ts, "epoch": np.int64(epoch + 1)}, epoch + 1)
         if "validate" in splits:
             inference(model, ts, splits["validate"], args, mesh,

@@ -24,6 +24,8 @@ def main(argv=None) -> int:
     args = hemx.parse_args(argv, display=True)
     from hemx.ops.layers import set_default_precision
     set_default_precision(getattr(args, "precision", "default"))
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
     mesh = make_mesh(args.n_devices)
     hemx.message(f"Mesh: {mesh.devices.size} device(s) "
                  f"({mesh.devices.flat[0].platform})")
