@@ -78,8 +78,8 @@ class _A:
         self._bn_layer = batch_norm()
 
     def conv(self, name, x, stride, padding, activation, bn=None):
-        y = conv2d_op(x, self.params[f"{name}_w"], stride, padding) \
-            + self.params[f"{name}_b"]
+        y = conv2d_op(x, self.params[f"{name}_w"], stride, padding)
+        y = y + self.params[f"{name}_b"].astype(y.dtype)
         if (self.use_bn if bn is None else bn):
             y, s = self._bn_layer.apply(self.params[f"{name}_bn"],
                                         self.state[f"{name}_bn"], y, self.ctx)
@@ -87,8 +87,8 @@ class _A:
         return activation(y) if activation else y
 
     def deconv(self, name, x, out_hw, stride, padding, activation, bn=None):
-        y = deconv2d_op(x, self.params[f"{name}_w"], out_hw, stride, padding) \
-            + self.params[f"{name}_b"]
+        y = deconv2d_op(x, self.params[f"{name}_w"], out_hw, stride, padding)
+        y = y + self.params[f"{name}_b"].astype(y.dtype)
         if (self.use_bn if bn is None else bn):
             y, s = self._bn_layer.apply(self.params[f"{name}_bn"],
                                         self.state[f"{name}_bn"], y, self.ctx)

@@ -186,11 +186,20 @@ class GanModel(ModelPlugin):
                 params = {**ts["params"], "discriminator": dp}
                 ctx_g = Ctx(training=True, rng=rng)
                 g, _ = self._g_forward(params, ts["mstate"], z, ctx_g)
-                d_real, ms1 = self._d_forward(params, ts["mstate"], x,
-                                              Ctx(training=True, rng=rng))
-                d_fake, ms2 = self._d_forward(
-                    params, {**ts["mstate"], "discriminator": ms1}, g,
-                    Ctx(training=True, rng=rng))
+                if model_type == "iwgan":
+                    # IWGAN's D has no BatchNorm (models/gan.py:274), so the
+                    # real and fake scores can come from ONE 2B-batch conv
+                    # pass — better MXU utilization than two B-batch passes
+                    both, ms2 = self._d_forward(
+                        params, ts["mstate"], jnp.concatenate([x, g]),
+                        Ctx(training=True, rng=rng))
+                    d_real, d_fake = both[:x.shape[0]], both[x.shape[0]:]
+                else:
+                    d_real, ms1 = self._d_forward(params, ts["mstate"], x,
+                                                  Ctx(training=True, rng=rng))
+                    d_fake, ms2 = self._d_forward(
+                        params, {**ts["mstate"], "discriminator": ms1}, g,
+                        Ctx(training=True, rng=rng))
                 _, d_loss = self._losses(d_real, d_fake)
                 if model_type == "iwgan":
                     alpha = jax.random.uniform(ak, (x.shape[0], 1))

@@ -63,12 +63,33 @@ def get_default_precision():
     return _PRECISION
 
 
+# Compute dtype policy (--dtype bfloat16): layers cast inputs and kernels to
+# this dtype before the MXU op (halving HBM traffic for activations) while
+# accumulating in f32. None = passthrough (params' dtype, default f32).
+_COMPUTE_DTYPE = None
+
+
+def set_compute_dtype(name: str | None) -> None:
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = {None: None, "float32": None,
+                      "bfloat16": jnp.bfloat16}[name]
+
+
+def _cast_in(x, k):
+    if _COMPUTE_DTYPE is not None:
+        return x.astype(_COMPUTE_DTYPE), k.astype(_COMPUTE_DTYPE)
+    if x.dtype != k.dtype:  # mixed callers (e.g. f32 BN output, bf16 kernel)
+        return x.astype(k.dtype), k
+    return x, k
+
+
 # ---------------------------------------------------------------------------
 # primitive functional ops (stateless, used by layers and by model code)
 # ---------------------------------------------------------------------------
 
 def conv2d_op(x, kernel, stride: int = 1, padding: str = "SAME"):
     """NHWC conv with HWIO kernel; mirrors tf.nn.conv2d(..., padding)."""
+    x, kernel = _cast_in(x, kernel)
     return lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
@@ -87,6 +108,7 @@ def deconv2d_op(x, kernel, out_hw: Tuple[int, int], stride: int = 2,
     numerics match TF/cuDNN. ``out_hw`` selects among the valid output sizes
     (for SAME/stride s: out = in*s).
     """
+    x, kernel = _cast_in(x, kernel)
     kh, kw, out_ch, in_ch = kernel.shape
     n, h, w, c = x.shape
     oh, ow = out_hw
@@ -271,8 +293,10 @@ def dense(output_size: int, *, input_size: Optional[int] = None,
         return params, state, out_shape
 
     def apply_fn(params, state, x, ctx: Ctx):
-        y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32,
-                    precision=_PRECISION) + params["b"]
+        xx, w = _cast_in(x, params["w"])
+        y = jnp.dot(xx, w, preferred_element_type=_COMPUTE_DTYPE or jnp.float32,
+                    precision=_PRECISION) + params["b"].astype(
+                        _COMPUTE_DTYPE or jnp.float32)
         new_state = state
         if bn is not None:
             y, bn_state = bn.apply(params["bn"], state["bn"], y, ctx)
@@ -321,7 +345,8 @@ def conv2d(output_size: int, filter_size: int = 3, stride: int = 1, *,
         return params, state, out_shape
 
     def apply_fn(params, state, x, ctx: Ctx):
-        y = conv2d_op(x, params["w"], stride, padding) + params["b"]
+        y = conv2d_op(x, params["w"], stride, padding)
+        y = y + params["b"].astype(y.dtype)
         new_state = dict(state)
         for i, nl in enumerate(norms):
             y, s = nl.apply(params[f"norm{i}"], state[f"norm{i}"], y, ctx)
@@ -371,7 +396,8 @@ def deconv2d(output_size: int, filter_size: int = 3, stride: int = 2, *,
     def apply_fn(params, state, x, ctx: Ctx):
         n, h, w, c = x.shape
         target = out_hw if out_hw is not None else (h * stride, w * stride)
-        y = deconv2d_op(x, params["w"], target, stride, padding) + params["b"]
+        y = deconv2d_op(x, params["w"], target, stride, padding)
+        y = y + params["b"].astype(y.dtype)
         new_state = dict(state)
         for i, nl in enumerate(norms):
             y, s = nl.apply(params[f"norm{i}"], state[f"norm{i}"], y, ctx)
@@ -432,7 +458,8 @@ def residual(output_size: int, filter_size: int = 3, stride: int = 1, *,
 
     def apply_fn(params, state, x, ctx: Ctx):
         new_state = dict(state)
-        h = conv2d_op(x, params["wa"], stride, padding) + params["ba"]
+        h = conv2d_op(x, params["wa"], stride, padding)
+        h = h + params["ba"].astype(h.dtype)
         shortcut = h
         for i, nl in enumerate(norms_a):
             h, s = nl.apply(params[f"norm_a{i}"], state[f"norm_a{i}"], h, ctx)
@@ -441,7 +468,8 @@ def residual(output_size: int, filter_size: int = 3, stride: int = 1, *,
             h = activation(h)
         if drop is not None:
             h, _ = drop.apply({}, {}, h, ctx)
-        h = conv2d_op(h, params["wb"], stride, padding) + params["bb"]
+        h = conv2d_op(h, params["wb"], stride, padding)
+        h = h + params["bb"].astype(h.dtype)
         for i, nl in enumerate(norms_b):
             h, s = nl.apply(params[f"norm_b{i}"], state[f"norm_b{i}"], h, ctx)
             new_state[f"norm_b{i}"] = s
