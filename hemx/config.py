@@ -124,9 +124,20 @@ def build_base_parser() -> CustomArgumentParser:
 
 
 def parse_args(argv=None, display: bool = False):
-    """Three-phase parse (reference: hem/util/arguments.py:152-171)."""
+    """Three-phase parse (reference: hem/util/arguments.py:152-171).
+
+    ``--config FILE`` (v1 semantics, train.py:25-37) is rewritten to the
+    ``@FILE`` form, which argparse re-expands in every phase so
+    plugin-contributed flags inside config files resolve too."""
+    import sys
+
     from hemx.data.plugin import get_dataset
     from hemx.models.plugin import get_model
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    while "--config" in argv:
+        i = argv.index("--config")
+        argv[i:i + 2] = ["@" + argv[i + 1]]
 
     parser = build_base_parser()
     args, leftover = parser.parse_known_args(argv)

@@ -76,6 +76,20 @@ class EventsWriter:
         (reference: ops/summaries.py montage_summary)."""
         self.image(tag, montage(np.asarray(images), grid), step)
 
+    def moments(self, tag: str, batch: np.ndarray, step: int) -> None:
+        """Batch mean/variance scalars + a colorized variance image
+        (reference: hem/ops/summaries.py:87-95 summarize_moments)."""
+        from hemx.ops.images import colorize
+
+        arr = np.asarray(batch, np.float32)
+        mean = arr.mean(axis=0)
+        var = arr.var(axis=0)
+        self.scalar(f"{tag}/mean", float(mean.mean()), step)
+        self.scalar(f"{tag}/variance", float(var.mean()), step)
+        if var.ndim == 3:
+            v = var.mean(axis=-1, keepdims=True)
+            self.image(f"{tag}/variance_image", colorize(v), step)
+
     def flush(self) -> None:
         self._f.flush()
 

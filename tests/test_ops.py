@@ -254,3 +254,40 @@ class TestLayers:
         ctx = Ctx(capture=True)
         net.apply(params, state, jnp.ones((3, 5)), ctx)
         assert set(ctx.intermediates) == {"d1", "d2"}
+
+
+class TestPallasKernels:
+    def test_u8_normalize_fallback_matches(self):
+        """On CPU the jnp fallback runs; numerics must match /255 exactly."""
+        import numpy as np
+        from hemx.ops.pallas_kernels import u8_normalize, u16_normalize
+        x = np.random.default_rng(0).integers(0, 256, (4, 32, 32, 3),
+                                              dtype=np.uint8)
+        y = np.asarray(u8_normalize(jnp.asarray(x), 0.0, 1.0))
+        np.testing.assert_allclose(y, x.astype(np.float32) / 255.0, atol=1e-7)
+        y2 = np.asarray(u8_normalize(jnp.asarray(x), -1.0, 1.0))
+        np.testing.assert_allclose(
+            y2, x.astype(np.float32) / 255.0 * 2.0 - 1.0, atol=1e-6)
+        d = np.random.default_rng(1).integers(0, 65536, (2, 8, 8, 1),
+                                              dtype=np.uint16)
+        yd = np.asarray(u16_normalize(jnp.asarray(d)))
+        np.testing.assert_allclose(yd, d.astype(np.float32) / 65535.0,
+                                   atol=1e-7)
+
+
+class TestComputeDtype:
+    def test_bf16_policy_casts_and_restores(self):
+        from hemx.ops import layers as L
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+        k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 4))
+        try:
+            L.set_compute_dtype("bfloat16")
+            y = L.conv2d_op(x, k, 1, "SAME")
+            assert y.dtype == jnp.bfloat16
+        finally:
+            L.set_compute_dtype(None)
+        y32 = L.conv2d_op(x, k, 1, "SAME")
+        assert y32.dtype == jnp.float32
+        # bf16 result approximates the f32 one
+        np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(y32),
+                                   atol=0.15, rtol=0.1)

@@ -192,3 +192,14 @@ class TestNative:
         open(path, "wb").write(bytes(raw))
         with pytest.raises(OSError):
             mod.read_all_records(path, True)
+
+
+class TestMoments:
+    def test_moments_summary(self, tmp_path):
+        w = EventsWriter(str(tmp_path))
+        batch = np.random.default_rng(0).random((16, 8, 8, 3)).astype(np.float32)
+        w.moments("distribution", batch, 3)
+        w.close()
+        from hemx.summaries.reader import get_all_events
+        tags = set(get_all_events(str(tmp_path)))
+        assert {"distribution/mean", "distribution/variance"} <= tags

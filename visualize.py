@@ -85,13 +85,19 @@ def visualize_samples(run, out_dir: str) -> None:
 
 
 def visualize_timelapse(run, out_dir: str) -> None:
-    """One sample grid per checkpoint (reference: visualize.py:144-167)."""
+    """One sample grid per checkpoint (reference: visualize.py:144-167).
+    Generative models sample; autoencoders reconstruct a fixed batch."""
     args, mesh, splits, model, ts, batch, mgr = run
+    place = make_place(mesh, splits["train"])
+    device_batch = place(batch)
     frames = []
     for epoch, path in mgr.checkpoints():
         wrapper = mgr.restore({"train_state": ts, "epoch": np.int64(0)}, path)
         s = _model_samples(model, wrapper["train_state"],
                            min(16, args.examples), jax.random.PRNGKey(0))
+        if s is None and hasattr(model, "_jit_recon"):
+            s = np.asarray(jax.device_get(
+                model._jit_recon(wrapper["train_state"], device_batch)))[:16]
         if s is None:
             return
         frames.append(montage(s, grid=(4, 4)))
