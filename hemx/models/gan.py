@@ -54,6 +54,11 @@ class GanModel(ModelPlugin):
             "--n_disc_train": dict(type=int, default=5,
                                    help="Critic steps per generator step "
                                         "(WGAN/IWGAN; reference train.py:106)."),
+            "--gp_per_sample": dict(action="store_true", default=False,
+                                    help="Use the IWGAN paper's per-sample "
+                                         "gradient-penalty norm instead of the "
+                                         "reference's whole-batch norm quirk "
+                                         "(models/gan.py:229)."),
         }
 
     def __init__(self, args, mesh):
@@ -209,7 +214,9 @@ class GanModel(ModelPlugin):
                                                     Ctx(training=True, rng=rng))
                         return scores
 
-                    gp = L.gradient_penalty(d_apply, x, g, alpha)
+                    gp = L.gradient_penalty(
+                        d_apply, x, g, alpha,
+                        per_sample=getattr(self.args, "gp_per_sample", False))
                     d_loss = d_loss + 10.0 * gp
                 return d_loss, ms2
 

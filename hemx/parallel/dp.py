@@ -19,18 +19,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from hemx.parallel.mesh import DATA_AXIS, data_sharding, replicated_sharding
 
 
+def host_slice(batch, *, process_index=None, process_count=None):
+    """Slice a GLOBAL host batch down to this process's portion.
+
+    Multi-host data feeding (replaces the reference's batch_slice per-GPU
+    slicing, hem/ops/input.py:10-26, at the host level): every process
+    iterates the same seeded global order, keeps rows
+    [pi*per : (pi+1)*per], and shard_batch assembles the global array from
+    the local shards.
+    """
+    pc = jax.process_count() if process_count is None else process_count
+    if pc == 1:
+        return batch
+    pi = jax.process_index() if process_index is None else process_index
+
+    def sl(x):
+        per = x.shape[0] // pc
+        return x[pi * per:(pi + 1) * per]
+
+    return jax.tree_util.tree_map(sl, batch)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host (numpy) batch onto the mesh, sharded on axis 0.
 
-    In multi-host runs each process passes only its per-host slice and this
-    becomes jax.make_array_from_process_local_data; single-host it is a
-    device_put with a sharding.
+    Single-host: a device_put of the global batch with a data sharding.
+    Multi-host: the GLOBAL batch is host-sliced to this process's portion
+    and assembled via jax.make_array_from_process_local_data.
     """
     sharding = data_sharding(mesh)
     if jax.process_count() > 1:
+        local = host_slice(batch)
         return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
-            batch)
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            local)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 

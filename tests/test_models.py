@@ -184,3 +184,18 @@ class TestCheckNumerics:
         host["grad_finite"]["encoder/c1/w"] = False
         with pytest.raises(FloatingPointError, match="encoder/c1/w"):
             common.raise_on_bad_grads(host)
+
+
+class TestHostSlice:
+    def test_global_batch_partitioned_across_processes(self):
+        """Multi-host feeding: each process keeps a distinct contiguous
+        shard of the same seeded global order (hemx.parallel.dp.host_slice)."""
+        from hemx.parallel.dp import host_slice
+        batch = {"image": np.arange(16 * 2).reshape(16, 2)}
+        shards = [host_slice(batch, process_index=i, process_count=4)["image"]
+                  for i in range(4)]
+        assert all(s.shape == (4, 2) for s in shards)
+        np.testing.assert_array_equal(np.concatenate(shards), batch["image"])
+        # single-process passthrough
+        same = host_slice(batch, process_index=0, process_count=1)
+        np.testing.assert_array_equal(same["image"], batch["image"])
