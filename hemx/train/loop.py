@@ -121,13 +121,18 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
                             leave=False)
         avg = MovingAverage()
         cadence = max(batches // (10 if epoch < 3 else 3), 1)
+        prof_start = min(10, max(batches - 2, 0))
+        prof_stop = min(prof_start + 10, batches - 1)
         for i in iterator:
-            if args.profile and epoch == current_epoch and i == 10 and not profiling:
+            if (args.profile and epoch == current_epoch and i == prof_start
+                    and not profiling):
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
             ts, metrics = model.train(ts, stream)
-            if args.profile and profiling and i == 20:
-                jax.block_until_ready(ts["step"])
+            if args.profile and profiling and i == prof_stop:
+                # device_get forces the queued steps to drain (this runtime's
+                # block_until_ready resolves optimistically)
+                jax.device_get(ts["step"])
                 jax.profiler.stop_trace()
                 profiling = False
             host = common.host_scalars(metrics)
