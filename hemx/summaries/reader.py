@@ -96,3 +96,35 @@ def get_tag_values(logdir: str, tag: str) -> list[tuple[int, float]]:
 
 def get_scalar_tags(logdir: str) -> list[str]:
     return sorted(get_all_events(logdir).keys())
+
+
+def decode_histo(buf: bytes) -> dict:
+    """Decode a HistogramProto (reference read path:
+    hem/util/events.py histogram extraction)."""
+    import struct as _struct
+
+    out = {"min": 0.0, "max": 0.0, "num": 0.0, "sum": 0.0,
+           "sum_squares": 0.0, "bucket_limit": [], "bucket": []}
+    names = {1: "min", 2: "max", 3: "num", 4: "sum", 5: "sum_squares"}
+    for field, wt, v in proto.iter_fields(buf):
+        if field in names:
+            out[names[field]] = v
+        elif field in (6, 7):
+            key = "bucket_limit" if field == 6 else "bucket"
+            if wt == 2:  # packed doubles
+                out[key] = list(_struct.unpack(f"<{len(v)//8}d", v))
+            else:
+                out[key].append(v)
+    return out
+
+
+def get_histogram_values(logdir: str, tag: str) -> list[tuple[int, dict]]:
+    """[(step, decoded HistogramProto)] for a tag under logdir."""
+    rows = []
+    for path in event_files(logdir):
+        for ev in iter_events(path):
+            for v in ev["values"]:
+                if v.get("tag") == tag and "histo" in v:
+                    rows.append((ev["step"], decode_histo(v["histo"])))
+    rows.sort(key=lambda r: r[0])
+    return rows

@@ -293,3 +293,34 @@ class TestEigenMetrics:
         r = acc.result()
         assert r["a"] == pytest.approx(2.0)
         assert r["b"] == pytest.approx(2.0)
+
+
+class TestFid:
+    def test_identical_distributions_zero(self):
+        from hemx.metrics.fid import fid_from_features
+        f = np.random.default_rng(0).normal(size=(500, 16))
+        assert fid_from_features(f, f) == pytest.approx(0.0, abs=1e-8)
+
+    def test_mean_shift_analytic(self):
+        # For equal covariances, FID == |mu1 - mu2|^2
+        from hemx.metrics.fid import frechet_distance
+        rngv = np.eye(4)
+        mu1 = np.zeros(4)
+        mu2 = np.full(4, 2.0)
+        assert frechet_distance(mu1, rngv, mu2, rngv) == pytest.approx(16.0)
+
+    def test_variance_mismatch_analytic(self):
+        # 1-D Gaussians: FID = (mu1-mu2)^2 + (s1-s2)^2 with s = stddev
+        from hemx.metrics.fid import frechet_distance
+        d = frechet_distance([0.0], [[4.0]], [0.0], [[1.0]])
+        assert d == pytest.approx((2.0 - 1.0) ** 2)
+
+    def test_separates_distributions(self):
+        from hemx.metrics.fid import fid_from_images, pixel_features
+        rng = np.random.default_rng(0)
+        real = rng.random((64, 32, 32, 3)).astype(np.float32)
+        near = np.clip(real + rng.normal(0, 0.02, real.shape), 0, 1).astype(np.float32)
+        far = rng.normal(0.5, 0.5, real.shape).astype(np.float32)
+        fid_near = fid_from_images(real, near)
+        fid_far = fid_from_images(real, far)
+        assert fid_near < fid_far
