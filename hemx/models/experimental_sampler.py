@@ -31,6 +31,10 @@ class ExperimentalSampler(ImprovedSampler):
         return {
             "--g_sparsity": dict(action="store_true", default=False),
             "--g_rmse": dict(action="store_true", default=False),
+            "--estimator_epochs": dict(type=int, default=30,
+                                       help="Phase-1 estimator epochs in the "
+                                            "experimental.py composition "
+                                            "(reference: experimental.py:51)."),
         }
 
     def __init__(self, args, mesh, estimator=None):
