@@ -112,7 +112,10 @@ def build_base_parser() -> CustomArgumentParser:
 
     data = parser.add_argument_group("Data")
     data.add_argument("--dataset", type=str.lower, default="floorplan")
-    data.add_argument("--shuffle", action="store_true", default=True)
+    data.add_argument("--shuffle", action=argparse.BooleanOptionalAction,
+                      default=True,
+                      help="Shuffle training batches (--no-shuffle for "
+                           "deterministic-order runs).")
     data.add_argument("--buffer_size", type=int, default=10000,
                       help="Shuffle buffer size (reference: data.py:49).")
     data.add_argument("--cache_dir", default=None,
@@ -206,6 +209,12 @@ def init_working_dir(args) -> str:
     return args.dir
 
 
+# Default-true booleans with a BooleanOptionalAction --no-<flag> companion:
+# these must be dumped in their negative form when False or the
+# options.config round-trip would silently re-enable them.
+_NEGATABLE_FLAGS = {"shuffle"}
+
+
 def dump_options(args, path: str) -> None:
     with open(path, "w") as f:
         f.write("# hemx resolved options (re-ingestable with @thisfile)\n")
@@ -214,6 +223,8 @@ def dump_options(args, path: str) -> None:
             if isinstance(v, bool):
                 if v:
                     f.write(f"{k}\n")
+                elif k in _NEGATABLE_FLAGS:
+                    f.write(f"no-{k}\n")
             elif isinstance(v, (list, tuple)):
                 if v:
                     f.write(f"{k} {' '.join(str(i) for i in v)}\n")

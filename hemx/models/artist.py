@@ -157,12 +157,12 @@ class ArtistModel(ModelPlugin):
             """Optimize encoder + y_decoder (fresh batch)."""
             x = 2.0 * (batch["image"] - 0.5)
             y = 2.0 * (batch["depth"] - 0.5)
+            rng, new_base = common.split_step_rng(ts)
 
             def loss_fn(sub):
                 params = {**ts["params"], **sub}
                 x_hat, y_hat, ms = self._forward(params, ts["mstate"], x,
-                                                 Ctx(training=True,
-                                                     rng=common.step_rng(ts)))
+                                                 Ctx(training=True, rng=rng))
                 _, y_loss, y_rmse = self._losses(x, y, x_hat, y_hat)
                 return y_loss, (ms, y_rmse)
 
@@ -176,19 +176,20 @@ class ArtistModel(ModelPlugin):
                       "params": {**ts["params"], **new_sub},
                       "mstate": ms,
                       "opt": {**ts["opt"], "y": new_opt},
-                      "step": ts["step"]}
+                      "step": ts["step"],
+                      "rng": new_base}
             return new_ts, {"y_loss": y_loss, "y_hat_rmse": y_rmse}
 
         def x_step(ts, batch):
             """Optimize x_decoder only (fresh batch)."""
             x = 2.0 * (batch["image"] - 0.5)
             y = 2.0 * (batch["depth"] - 0.5)
+            rng, new_base = common.split_step_rng(ts)
 
             def loss_fn(sub):
                 params = {**ts["params"], **sub}
                 x_hat, y_hat, ms = self._forward(params, ts["mstate"], x,
-                                                 Ctx(training=True,
-                                                     rng=common.step_rng(ts)))
+                                                 Ctx(training=True, rng=rng))
                 x_loss, _, _ = self._losses(x, y, x_hat, y_hat)
                 return x_loss, ms
 
@@ -200,7 +201,8 @@ class ArtistModel(ModelPlugin):
                       "params": {**ts["params"], **new_sub},
                       "mstate": ms,
                       "opt": {**ts["opt"], "x": new_opt},
-                      "step": ts["step"] + 1}
+                      "step": ts["step"] + 1,
+                      "rng": new_base}
             return new_ts, {"x_loss": x_loss}
 
         def predict(ts, batch):

@@ -40,8 +40,29 @@ def new_train_state(params, mstate, opt_states, seed: int, mesh=None) -> dict:
 
 
 def step_rng(ts: dict) -> jax.Array:
-    """Per-step key: fold the step counter into the state's base key."""
+    """Per-step key: fold the step counter into the state's base key.
+
+    READ-ONLY paths (eval, predict, summaries) use this. Optimizer-applying
+    steps must use :func:`split_step_rng` instead so consecutive sub-steps at
+    a fixed ``step`` (the WGAN/IWGAN critic loop, artist/info_gan sub-phases)
+    draw fresh randomness — the reference re-sampled ``tf.random_normal`` /
+    ``tf.random_uniform`` on every ``sess.run`` (models/gan.py:57-58,221-222).
+    """
     return jax.random.fold_in(ts["rng"], ts["step"])
+
+
+def split_step_rng(ts: dict):
+    """(sub_key, advanced_base) for an optimizer-applying sub-step.
+
+    The caller threads ``advanced_base`` back into ``new_ts["rng"]`` so every
+    optimizer apply — including critic-loop iterations that do NOT advance the
+    step counter — consumes distinct randomness. Without this, all
+    ``n_disc_train`` critic steps in one train() call would reuse one z (same
+    fake batch) and one gradient-penalty alpha, silently changing WGAN/IWGAN
+    dynamics vs the reference's per-sess.run sampling (models/gan.py:158-175).
+    """
+    sub, new_base = jax.random.split(jax.random.fold_in(ts["rng"], ts["step"]))
+    return sub, new_base
 
 
 def grad_finite_report(grads) -> dict:

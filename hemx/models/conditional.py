@@ -122,27 +122,35 @@ class ConditionalGanBase(ModelPlugin):
         return common.new_train_state(params, mstate, opt, self.args.seed,
                                       self.mesh)
 
-    def _gan_losses(self, real_logits, fake_logits):
+    def _g_loss_from_fake(self, fake_logits):
+        """Generator loss from the fake logits alone (the only thing g_loss
+        depends on in both regimes — kept as its own helper so the g_step
+        never has to fabricate a 'real' argument)."""
         if self.training_version == "wgan":
-            g_loss = L.wgan_g_loss(fake_logits)
+            return L.wgan_g_loss(fake_logits)
+        return jnp.mean(L.sigmoid_xent(fake_logits,
+                                       jnp.ones_like(fake_logits)))
+
+    def _gan_losses(self, real_logits, fake_logits):
+        g_loss = self._g_loss_from_fake(fake_logits)
+        if self.training_version == "wgan":
             d_real = -jnp.mean(real_logits)
             d_fake = jnp.mean(fake_logits)
-            d_loss = d_real + d_fake
         else:
-            g_loss = jnp.mean(L.sigmoid_xent(fake_logits,
-                                             jnp.ones_like(fake_logits)))
             d_real = jnp.mean(L.sigmoid_xent(real_logits,
                                              jnp.ones_like(real_logits)))
             d_fake = jnp.mean(L.sigmoid_xent(fake_logits,
                                              jnp.zeros_like(fake_logits)))
-            d_loss = d_real + d_fake
+        d_loss = d_real + d_fake
         return g_loss, d_loss, d_real, d_fake
 
     def _compile(self):
         check = self.args.check_numerics
 
         def d_step(ts, batch):
-            rng = common.step_rng(ts)
+            # split_step_rng: each critic iteration (step counter unchanged)
+            # must see fresh noise/crops — see common.split_step_rng.
+            rng, new_base = common.split_step_rng(ts)
             prep = self.prepare(batch, Ctx(training=True, rng=rng))
 
             def loss_fn(dp):
@@ -174,11 +182,12 @@ class ConditionalGanBase(ModelPlugin):
                       "params": {**ts["params"], "discriminator": new_d},
                       "mstate": {**ts["mstate"], "discriminator": ms_d},
                       "opt": {**ts["opt"], "d": new_opt_d},
-                      "step": ts["step"]}
+                      "step": ts["step"],
+                      "rng": new_base}
             return new_ts, metrics
 
         def g_step(ts, batch):
-            rng = common.step_rng(ts)
+            rng, new_base = common.split_step_rng(ts)
             prep = self.prepare(batch, Ctx(training=True, rng=rng))
 
             def loss_fn(gp):
@@ -187,7 +196,7 @@ class ConditionalGanBase(ModelPlugin):
                 g, ms_g = self.g_forward(params, ts["mstate"], prep, ctx)
                 fake_logits, _ = self.d_forward(params, ts["mstate"], prep, g,
                                                 Ctx(training=True, rng=rng))
-                g_gan, _, _, _ = self._gan_losses(fake_logits, fake_logits)
+                g_gan = self._g_loss_from_fake(fake_logits)
                 extra, extra_metrics = self.extra_g_loss(g, prep)
                 g_total = g_gan + extra
                 return g_total, (ms_g, g, g_gan, extra_metrics)
@@ -209,7 +218,8 @@ class ConditionalGanBase(ModelPlugin):
                       "params": {**ts["params"], "generator": new_g},
                       "mstate": {**ts["mstate"], "generator": ms_g},
                       "opt": {**ts["opt"], "g": new_opt_g},
-                      "step": ts["step"] + 1}
+                      "step": ts["step"] + 1,
+                      "rng": new_base}
             return new_ts, metrics
 
         def eval_step(ts, batch):

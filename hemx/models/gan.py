@@ -142,7 +142,7 @@ class GanModel(ModelPlugin):
             """Vanilla GAN: D and G updates from one batch + one z
             (reference: models/gan.py:110-131 single sess.run)."""
             x = 2.0 * (batch["image"] - 0.5)
-            rng = common.step_rng(ts)
+            rng, new_base = common.split_step_rng(ts)
             z = sample_z(rng, x.shape[0])
             ctx = lambda: Ctx(training=True, rng=rng)
 
@@ -177,13 +177,18 @@ class GanModel(ModelPlugin):
                       "params": {"generator": new_g, "discriminator": new_d},
                       "mstate": {"generator": ms_g, "discriminator": ms_d},
                       "opt": {"g": new_opt_g, "d": new_opt_d},
-                      "step": ts["step"] + 1}
+                      "step": ts["step"] + 1,
+                      "rng": new_base}
             return new_ts, metrics
 
         def d_step(ts, batch):
-            """One critic update on a fresh batch (WGAN/IWGAN)."""
+            """One critic update on a fresh batch (WGAN/IWGAN).
+
+            Advances the state's base RNG so each of the n_disc_train critic
+            iterations (step counter unchanged) samples fresh z and GP alpha.
+            """
             x = 2.0 * (batch["image"] - 0.5)
-            rng = common.step_rng(ts)
+            rng, new_base = common.split_step_rng(ts)
             rng, zk, ak = jax.random.split(rng, 3)
             z = sample_z(zk, x.shape[0])
 
@@ -233,13 +238,14 @@ class GanModel(ModelPlugin):
                       "params": {**ts["params"], "discriminator": new_d},
                       "mstate": {**ts["mstate"], "discriminator": ms_d},
                       "opt": {**ts["opt"], "d": new_opt_d},
-                      "step": ts["step"]}
+                      "step": ts["step"],
+                      "rng": new_base}
             return new_ts, metrics
 
         def g_step(ts, batch):
             """One generator update on a fresh batch (WGAN/IWGAN)."""
             x = 2.0 * (batch["image"] - 0.5)  # only used for d_loss reporting
-            rng = common.step_rng(ts)
+            rng, new_base = common.split_step_rng(ts)
             rng, zk = jax.random.split(rng)
             z = sample_z(zk, x.shape[0])
 
@@ -269,7 +275,8 @@ class GanModel(ModelPlugin):
                       "params": {**ts["params"], "generator": new_g},
                       "mstate": {**ts["mstate"], "generator": ms_g},
                       "opt": {**ts["opt"], "g": new_opt_g},
-                      "step": ts["step"] + 1}
+                      "step": ts["step"] + 1,
+                      "rng": new_base}
             return new_ts, metrics
 
         def eval_step(ts, batch):

@@ -252,9 +252,19 @@ class ImprovedSampler(ConditionalGanBase):
                 "discriminator": spec_discriminator(DISC_SPECS[self.args.d_arch])}
 
     def g_forward(self, params, mstate, prep, ctx):
+        if getattr(self.args, "g_sparsity", False):
+            # Capture the encoder bottleneck for the sparsity term
+            # (improved_sampler.py:910-922). The stash is a trace-time side
+            # channel: g_forward and extra_g_loss run sequentially inside the
+            # same jitted loss_fn trace, so the tracer is always fresh. A
+            # plain method override (not a self.g_forward rebind) keeps
+            # repeated _compile()/init_state() calls safe.
+            ctx.capture = True
         g, ms = self._nets["generator"].apply(params["generator"],
                                               mstate["generator"],
                                               prep["g_input"], ctx)
+        if getattr(self.args, "g_sparsity", False):
+            self._last_bottleneck = ctx.intermediates.get("e_bottleneck", g)
         return g, ms
 
     def d_forward(self, params, mstate, prep, depth, ctx):
@@ -283,21 +293,6 @@ class ImprovedSampler(ConditionalGanBase):
             metrics["sparsity_term"] = sparsity
             total = total - 1.0 * sparsity
         return total, metrics
-
-    def _compile(self):
-        # capture the bottleneck for the sparsity term by wrapping g_forward
-        if getattr(self.args, "g_sparsity", False):
-            self._orig_g_forward = self.g_forward
-            self.g_forward = lambda p, m, pr, c: self._capture_fwd(p, m, pr, c)
-        super()._compile()
-
-    def _capture_fwd(self, params, mstate, prep, ctx):
-        ctx.capture = True
-        g, ms = self._nets["generator"].apply(params["generator"],
-                                              mstate["generator"],
-                                              prep["g_input"], ctx)
-        self._last_bottleneck = ctx.intermediates.get("e_bottleneck", g)
-        return g, ms
 
     def train(self, ts, stream):
         """One fused batch: D update and G update from the same batch

@@ -151,7 +151,7 @@ class InfoGan(ModelPlugin):
         def d_step(ts, batch):
             x = 2.0 * (batch["image"] - 0.5)
             y = 2.0 * (batch["depth"] - 0.5)
-            rng = common.step_rng(ts)
+            rng, new_base = common.split_step_rng(ts)
 
             def loss_fn(pd):
                 params = {**ts["params"], "discriminator": pd}
@@ -171,12 +171,13 @@ class InfoGan(ModelPlugin):
                 ts["params"]["discriminator"])
             new_ts = {**ts, "params": {**ts["params"], "discriminator": new_d},
                       "mstate": {**ts["mstate"], "discriminator": ms},
-                      "opt": {**ts["opt"], "d": new_opt}}
+                      "opt": {**ts["opt"], "d": new_opt},
+                      "rng": new_base}
             return new_ts, {"d_loss": d_loss}
 
         def g_step(ts, batch):
             x = 2.0 * (batch["image"] - 0.5)
-            rng = common.step_rng(ts)
+            rng, new_base = common.split_step_rng(ts)
 
             def loss_fn(pg):
                 params = {**ts["params"], "generator": pg}
@@ -193,12 +194,13 @@ class InfoGan(ModelPlugin):
                 ts["params"]["generator"])
             new_ts = {**ts, "params": {**ts["params"], "generator": new_g},
                       "mstate": {**ts["mstate"], "generator": ms},
-                      "opt": {**ts["opt"], "g": new_opt}}
+                      "opt": {**ts["opt"], "g": new_opt},
+                      "rng": new_base}
             return new_ts, {"g_loss": g_loss}
 
         def q_step(ts, batch):
             x = 2.0 * (batch["image"] - 0.5)
-            rng = common.step_rng(ts)
+            rng, new_base = common.split_step_rng(ts)
 
             def loss_fn(sub):
                 params = {**ts["params"], **sub}
@@ -224,7 +226,8 @@ class InfoGan(ModelPlugin):
             new_ts = {**ts, "params": {**ts["params"], **new_sub},
                       "mstate": {**ts["mstate"], "predictor": ms},
                       "opt": {**ts["opt"], "q": new_opt},
-                      "step": ts["step"] + 1}
+                      "step": ts["step"] + 1,
+                      "rng": new_base}
             return new_ts, {"q_loss": q_loss}
 
         def eval_step(ts, batch):

@@ -422,7 +422,17 @@ def residual(output_size: int, filter_size: int = 3, stride: int = 1, *,
 
     Shortcut = conv1 output *before* normalization; added to conv2's
     post-norm output, then activated — exactly the reference's wiring.
+
+    stride must be 1: the reference applies ``stride`` to BOTH convs
+    (hem/ops/layers.py:262,300) while sizing downstream layers as if it were
+    applied once, so any stride>1 caller would hit a latent shape mismatch at
+    the ``h + shortcut`` add. No reference config uses stride>1; we reject it
+    eagerly instead of reproducing the broken geometry.
     """
+    if stride != 1:
+        raise ValueError(
+            f"residual({name}): stride must be 1 (the reference's stride>1 "
+            "path is internally inconsistent — see docstring)")
     norms_a = _maybe_norm_layers(use_batch_norm, use_batch_renorm,
                                  use_instance_norm, eval_stats)
     norms_b = _maybe_norm_layers(use_batch_norm, use_batch_renorm,

@@ -72,15 +72,6 @@ def jit_step(step_fn: Callable, mesh: Mesh, *, batch_argnums=(1,),
     def in_sharding_for(argnum):
         return data if argnum in batch_argnums else repl
 
-    # Build in_shardings lazily per call signature: jit accepts pytree prefixes.
-    def wrapped(*args, **kwargs):
-        in_shardings = tuple(in_sharding_for(i) for i in range(len(args)))
-        fn = jax.jit(step_fn,
-                     in_shardings=in_shardings,
-                     donate_argnums=donate_argnums,
-                     static_argnums=static_argnums)
-        return fn(*args, **kwargs)
-
     # cache the jitted function per arity to avoid re-wrapping
     @functools.lru_cache(maxsize=8)
     def _jitted(n_args: int):

@@ -120,7 +120,11 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
             iterator = tqdm(iterator, desc=f"Epoch {epoch + 1:3d}", unit="batch",
                             leave=False)
         avg = MovingAverage()
-        cadence = max(batches // (10 if epoch < 3 else 3), 1)
+        # --summary_freq overrides the reference cadence (10x/epoch for the
+        # first 3 epochs, then 3x/epoch — hem/util/training.py:143-150)
+        per_epoch = (args.summary_freq if getattr(args, "summary_freq", 0)
+                     else (10 if epoch < 3 else 3))
+        cadence = max(batches // per_epoch, 1)
         prof_start = min(10, max(batches - 2, 0))
         prof_stop = min(prof_start + 10, batches - 1)
         for i in iterator:
@@ -155,11 +159,9 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
             inference(model, ts, splits["test"], args, mesh,
                       writers["test"], step, label="Test")
 
-    if (args.test_epochs == [] and "test" in splits and max_epochs > current_epoch):
-        # reference runs test at end of training when --test_epochs is empty
-        step = int(jax.device_get(ts["step"]))
-        inference(model, ts, splits["test"], args, mesh, writers["test"],
-                  step, label="Test")
+    # NOTE: the reference only evaluates the test split when (epoch+1) is in
+    # --test_epochs (hem/util/training.py:164-169) and never at end-of-training;
+    # default runs must not touch the test set.
 
     elapsed = int(time.time() - start_time)
     term.message(f"\nTraining complete! Elapsed time: {elapsed}s")

@@ -71,10 +71,12 @@ def forward_inference(model, ts, patches: np.ndarray, mesh, batch: dict,
     return np.concatenate(outs)[:n]
 
 
-def reconstruct(shape, preds: np.ndarray, coords, depth_scale: float):
-    """NaN-aware overlap averaging of 29x29 outputs
+def reconstruct(shape, preds: np.ndarray, coords, depth_range):
+    """NaN-aware overlap averaging of 29x29 outputs, mapped from the model's
+    output range back to the dataset's [0,1] depth units
     (reference: paper_fullimage.py:126-155)."""
     h, w = shape
+    lo, hi = depth_range
     total = np.zeros((h, w), np.float64)
     count = np.zeros((h, w), np.float64)
     for pred, (top, left) in zip(preds[..., 0], coords):
@@ -85,7 +87,7 @@ def reconstruct(shape, preds: np.ndarray, coords, depth_scale: float):
     out = np.full((h, w), np.nan)
     mask = count > 0
     out[mask] = total[mask] / count[mask]
-    return out / depth_scale
+    return (out - lo) / (hi - lo)
 
 
 def main(argv=None) -> int:
@@ -111,17 +113,26 @@ def main(argv=None) -> int:
     wrapper = mgr.restore({"train_state": ts_init, "epoch": np.int64(0)})
     ts = wrapper["train_state"]
 
-    # depth scale: paper models predict meters (y*10); detect via prep
-    depth_scale = 10.0
+    # Depth scale comes from the model's declared output range, NOT a
+    # hardcoded constant: paper models predict meters (0,10), [-1,1]/[0,1]
+    # models map accordingly (reference hardcoded /10 because all its
+    # fullimage models were paper variants, paper_fullimage.py:151).
+    depth_range = (model.depth_range() if hasattr(model, "depth_range")
+                   else (0.0, 1.0))
+    hemx.message(f"model depth range: {depth_range}")
 
     split = splits[a.split]
     scenes = next(split.iter_epoch(min(a.n_scenes, split.count),
                                    shuffle=False))
     out_dir = os.path.join(a.dir, "fullimage")
     os.makedirs(out_dir, exist_ok=True)
+    n_scenes = scenes["image"].shape[0]
+    # recons[scene][stride] for the cross-stride comparison montages
+    # (reference: paper_fullimage.py:302-316)
+    recons: dict = {s: {} for s in range(n_scenes)}
     for stride in a.strides:
         rmses = []
-        for s in range(scenes["image"].shape[0]):
+        for s in range(n_scenes):
             image = np.asarray(scenes["image"][s])
             depth = np.asarray(scenes["depth"][s])[..., 0]
             if image.shape[0] < PATCH or image.shape[1] < PATCH:
@@ -131,17 +142,32 @@ def main(argv=None) -> int:
             patches, coords = build_batch(image, stride)
             preds = forward_inference(model, ts, patches, mesh, host_batch,
                                       a.chunk)
-            recon = reconstruct(image.shape[:2], preds, coords, depth_scale)
+            recon = reconstruct(image.shape[:2], preds, coords, depth_range)
             valid = ~np.isnan(recon)
             rmse = float(np.sqrt(np.mean(
                 (recon[valid] - depth[valid]) ** 2)))
             rmses.append(rmse)
+            recons[s][stride] = recon
             vis = np.where(np.isnan(recon), 0.0, recon)
             with open(os.path.join(
                     out_dir, f"scene{s}_stride{stride}.png"), "wb") as f:
                 f.write(encode_png(to_uint8(np.clip(vis, 0, 1))))
         hemx.message(f"stride {stride}: mean rmse "
                      f"{float(np.mean(rmses)):.4f} over {len(rmses)} scenes")
+
+    # per-scene comparison grid: [RGB | ground truth | recon per stride]
+    for s in range(n_scenes):
+        image = np.asarray(scenes["image"][s])
+        depth = np.asarray(scenes["depth"][s])[..., 0]
+        cols = [image.mean(axis=-1), depth]
+        cols += [np.where(np.isnan(recons[s][st]), 0.0, recons[s][st])
+                 for st in a.strides]
+        grid = np.concatenate([np.clip(c, 0, 1) for c in cols], axis=1)
+        with open(os.path.join(out_dir, f"scene{s}_comparison.png"),
+                  "wb") as f:
+            f.write(encode_png(to_uint8(grid)))
+    hemx.message(f"comparison montages: {out_dir}/scene*_comparison.png "
+                 f"(columns: rgb, gt, strides {a.strides})")
     return 0
 
 

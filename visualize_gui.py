@@ -2,10 +2,11 @@
 """Run browser (reference: visualize_gui.py — a wxPython TensorBoard-events
 tree browser).
 
-wxPython is not part of this environment; when available the same tree-of-
-runs/scalars browser is presented with wx, otherwise this falls back to an
-interactive terminal browser over the same data: list workspace runs, their
-checkpoints and scalar tags, and render any tag to a PNG chart.
+The wx frontend is NOT implemented (wxPython is not part of this
+environment); this tool provides an interactive terminal browser over the
+same data instead: list workspace runs, their checkpoints and scalar tags,
+and render any tag to a PNG chart. If wxPython is importable we say so and
+still use the terminal browser.
 """
 
 from __future__ import annotations
