@@ -189,6 +189,7 @@ def default_args(**overrides):
     # plugin-contributed defaults commonly needed programmatically
     extra = dict(latent_size=200, n_disc_train=5, vae_parity_loss=False,
                  synthetic_count=1024, synthetic_shape=[64, 64, 3],
+                 synthetic_eval_count=0, synthetic_u8=False,
                  cifar_resize=0, seed=42)
     for k, v in extra.items():
         setattr(ns, k, v)

@@ -152,16 +152,25 @@ def u8_image_device_transform(keys=("image",), lo: float = 0.0,
     return transform
 
 
-def make_place(mesh, split=None):
-    """Host batch -> sharded device batch (+ the split's device transform)."""
+def make_place(mesh, split=None, keys=None):
+    """Host batch -> sharded device batch (+ the split's device transform).
+
+    ``keys``: optional key subset (a model's ``batch_keys``) — unused fields
+    are dropped on the host so they never cross the H2D link.
+    """
     import jax
     from hemx.parallel.dp import shard_batch
 
     dt = getattr(split, "device_transform", None) if split is not None else None
-    if dt is None:
-        return lambda b: shard_batch(b, mesh)
-    jdt = jax.jit(dt)
-    return lambda b: jdt(shard_batch(b, mesh))
+    jdt = jax.jit(dt) if dt is not None else None
+
+    def place(b):
+        if keys:
+            b = {k: v for k, v in b.items() if k in keys}
+        b = shard_batch(b, mesh)
+        return jdt(b) if jdt is not None else b
+
+    return place
 
 
 class Pipeline:

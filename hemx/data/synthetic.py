@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from hemx.data.pipeline import ArraySource, Split
+from hemx.data.pipeline import ArraySource, Split, u8_image_device_transform
 from hemx.data.plugin import DataPlugin
 
 
@@ -31,9 +31,19 @@ class SyntheticDataset(DataPlugin):
     def arguments() -> dict:
         return {
             "--synthetic_count": dict(type=int, default=1024,
-                                      help="Samples per split."),
+                                      help="Samples in the train split."),
             "--synthetic_shape": dict(type=int, nargs=3, default=[64, 64, 3],
                                       help="H W C of generated images."),
+            "--synthetic_eval_count": dict(
+                type=int, default=0,
+                help="Samples in validate/test splits (0 = same as "
+                     "--synthetic_count)."),
+            "--synthetic_u8": dict(
+                action="store_true", default=False,
+                help="Store image/depth as uint8 and normalize on-device "
+                     "(the real-dataset path: compact host cache, uint8 over "
+                     "the H2D link, Pallas u8_normalize on-chip). Default "
+                     "float32 keeps exact [0,1] values for numeric tests."),
         }
 
     @staticmethod
@@ -54,23 +64,31 @@ class SyntheticDataset(DataPlugin):
 
     @classmethod
     def get_datasets(cls, args) -> dict:
-        n = getattr(args, "synthetic_count", 1024)
+        n_train = getattr(args, "synthetic_count", 1024)
+        n_eval = getattr(args, "synthetic_eval_count", 0) or n_train
+        u8 = getattr(args, "synthetic_u8", False)
         h, w, c = getattr(args, "synthetic_shape", [64, 64, 3])
         splits = {}
         ys = np.linspace(0.0, 1.0, h, dtype=np.float32)
         xs = np.linspace(0.0, 1.0, w, dtype=np.float32)
         for i, split in enumerate(("train", "validate", "test")):
+            n = n_train if split == "train" else n_eval
             images = _make_images(n, h, w, c, seed=args.seed + i)
             depth = images.mean(axis=3, keepdims=True) * 0.9 + 0.05
             # NYUv2-style auxiliary channels so location/mean-conditioned
-            # models (improved_sampler C1/D1/E1, paper variants) run here too
-            y_loc = np.broadcast_to(ys[None, :, None, None],
-                                    (n, h, w, 1)).astype(np.float32).copy()
-            x_loc = np.broadcast_to(xs[None, None, :, None],
-                                    (n, h, w, 1)).astype(np.float32).copy()
+            # models (improved_sampler C1/D1/E1, paper variants) run here
+            # too. Broadcast views: zero extra host memory; fancy indexing
+            # in ArraySource.batch materializes per-batch copies.
+            y_loc = np.broadcast_to(ys[None, :, None, None], (n, h, w, 1))
+            x_loc = np.broadcast_to(xs[None, None, :, None], (n, h, w, 1))
             mean = np.broadcast_to(depth.mean(axis=(1, 2, 3), keepdims=True),
-                                   depth.shape).astype(np.float32).copy()
+                                   depth.shape)
+            if u8:
+                images = np.round(images * 255.0).astype(np.uint8)
+                depth = np.round(depth * 255.0).astype(np.uint8)
             src = ArraySource({"image": images, "depth": depth,
                                "x_loc": x_loc, "y_loc": y_loc, "mean": mean})
-            splits[split] = Split(src, name=split)
+            dt = (u8_image_device_transform(keys=("image", "depth"))
+                  if u8 else None)
+            splits[split] = Split(src, name=split, device_transform=dt)
         return splits

@@ -27,6 +27,7 @@ from hemx.train.optimizers import init_optimizer
 
 class CnnModel(ModelPlugin):
     name = "cnn"
+    batch_keys = ("image",)
 
     @staticmethod
     def arguments() -> dict:

@@ -46,6 +46,7 @@ from hemx.train.optimizers import clip_params, init_optimizer
 class GanModel(ModelPlugin):
     name = "gan"
     model_type = "gan"
+    batch_keys = ("image",)
 
     @staticmethod
     def arguments() -> dict:

@@ -30,6 +30,13 @@ _NON_PLUGIN_MODULES = {"plugin", "common", "networks"}
 class ModelPlugin:
     name: str = ""
 
+    #: Input-batch keys this model consumes, or None for all. The training
+    #: loop drops unused keys BEFORE host->device transfer, so e.g. the v1
+    #: image models never ship depth/location channels over the (tunneled)
+    #: H2D link — HBM-bandwidth discipline the reference never needed since
+    #: its tf.data graph only materialized referenced tensors.
+    batch_keys: Optional[tuple] = None
+
     @staticmethod
     def arguments() -> dict:
         return {}

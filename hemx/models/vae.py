@@ -34,6 +34,7 @@ from hemx.train.optimizers import init_optimizer
 
 class VaeModel(ModelPlugin):
     name = "vae"
+    batch_keys = ("image",)
 
     @staticmethod
     def arguments() -> dict:

@@ -56,7 +56,7 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
     writers = SummaryWriterSet(args.dir)
     global_batch = args.batch_size * mesh.size
     train_split = splits["train"]
-    place = make_place(mesh, train_split)
+    place = make_place(mesh, train_split, keys=model.batch_keys)
     batches = train_split.batches_per_epoch(global_batch)
     if args.epoch_size > 0:
         batches = min(batches, args.epoch_size)
@@ -69,6 +69,9 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
 
     # shapes + init
     host_batch = next(train_split.iter_epoch(global_batch, shuffle=False))
+    if model.batch_keys:
+        host_batch = {k: v for k, v in host_batch.items()
+                      if k in model.batch_keys}
     summary_batch = place(host_batch)
     ts = model.init_state(jax.random.PRNGKey(args.seed), host_batch)
 
@@ -174,7 +177,7 @@ def inference(model, ts, split, args, mesh, writer, step: int, *,
     """Average eval losses over a split and write one summary
     (reference: hem/util/misc.py:85-93)."""
     global_batch = args.batch_size * mesh.size
-    place = make_place(mesh, split)
+    place = make_place(mesh, split, keys=getattr(model, "batch_keys", None))
     n = split.batches_per_epoch(global_batch)
     if max_batches:
         n = min(n, max_batches)

@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# Convergence-parity campaign (VERDICT r1 next-round #1).
+#
+# Trains the five BASELINE.md anchor configs at the reference's
+# examples.org hyperparameters for the full 100 epochs. The reference's
+# floorplans dataset is unobtainable here (zero egress; the reference
+# itself loaded it from private local file lists — hem/data/floorplan.py),
+# so the campaign runs on the synthetic image distribution with the SAME
+# global batch (512), optimizer, learning rate, epoch count, and model
+# sizes. Dataset: 32,768 train / 4,096 eval images, 64x64x3, shipped
+# uint8 and normalized on-chip.
+#
+# Results are summarized into PARITY.md by scripts/parity_report.py.
+set -u
+cd "$(dirname "$0")/.."
+W=workspace/parity
+mkdir -p "$W"
+
+COMMON="--dataset synthetic --synthetic_count 32768 --synthetic_eval_count 4096 \
+ --synthetic_u8 --synthetic_shape 64 64 3 --batch_size 512 --epochs 100 \
+ --max_to_keep 3 --seed 7"
+
+run() {
+  local name="$1"; shift
+  if [ -f "$W/$name.done" ]; then echo "skip $name (done)"; return; fi
+  echo "=== $name: $(date) ==="
+  # repeat.sh semantics: restart on crash (exit != 1), resume from checkpoint
+  local tries=0
+  until python train.py $COMMON "$@" --dir "$W/$name" >"$W/$name.log" 2>&1; do
+    code=$?
+    tries=$((tries+1))
+    echo "$name exited $code (try $tries)"
+    if [ "$code" -eq 1 ] || [ "$tries" -ge 3 ]; then return; fi
+    sleep 30
+  done
+  touch "$W/$name.done"
+  echo "=== $name finished: $(date) ==="
+}
+
+# examples.org rows (reference: /root/reference/examples/examples.org):
+run cnn   --model cnn   --optimizer rmsprop --lr 1e-4
+run vae   --model vae   --optimizer rmsprop --lr 1e-3 --latent_size 200
+run gan   --model gan   --optimizer rmsprop --lr 2.5e-5
+run wgan  --model wgan  --optimizer rmsprop --lr 2.5e-5 --n_disc_train 5
+run iwgan --model iwgan --optimizer adam --lr 1e-4 --beta1 0.5 --beta2 0.9 \
+          --n_disc_train 5
+echo "=== campaign complete: $(date) ==="

@@ -36,6 +36,7 @@ def make_args(**overrides):
         raw_dataset_dir="/tmp", dataset_dir="datasets", n_threads=1,
         latent_size=16, n_disc_train=2, vae_parity_loss=False,
         synthetic_count=64, synthetic_shape=[32, 32, 3],
+        synthetic_eval_count=0, synthetic_u8=False,
     )
     base.update(overrides)
     return types.SimpleNamespace(**base)
