@@ -45,7 +45,25 @@ def main(argv=None) -> int:
                         help="Loss names to include (default all).")
     parser.add_argument("--out", default="losses.pdf")
     parser.add_argument("--logy", action="store_true")
+    parser.add_argument("--histogram", default=None, metavar="TAG",
+                        help="Render TAG's histogram evolution as a "
+                             "percentile-fan chart instead of loss curves "
+                             "(reference: hem/util/events.py:120-205). "
+                             "Use --histogram list to enumerate tags.")
     a = parser.parse_args(argv)
+
+    if a.histogram:
+        from hemx.summaries.reader import (get_histogram_tags,
+                                           render_histogram_plot)
+        run = os.path.join(a.dirs[0], "train")
+        if a.histogram == "list":
+            for t in get_histogram_tags(run):
+                print(t)
+            return 0
+        out = a.out if a.out != "losses.pdf" else "histogram.png"
+        render_histogram_plot(run, a.histogram, out)
+        message(f"wrote {out}")
+        return 0
 
     fig, ax = plt.subplots(figsize=(9, 5.5))
     total = 0

@@ -63,6 +63,18 @@ def build_base_parser() -> CustomArgumentParser:
     misc.add_argument("--debug_nans", action="store_true", default=False,
                       help="Enable jax_debug_nans: raise at the first NaN-producing "
                            "op anywhere (slower; finer-grained than --check_numerics).")
+    misc.add_argument("--summarize_activations", action="store_true",
+                      default=False,
+                      help="Write per-layer activation mean/zero-fraction/"
+                           "histogram at every summary write (the reference's "
+                           "inline per-layer summaries, hem/ops/layers.py:121-131 "
+                           "— opt-in, adds one capture forward per write).")
+    misc.add_argument("--summarize_gradients", action="store_true",
+                      default=False,
+                      help="Write per-variable gradient mean + histogram at "
+                           "every summary write (reference: "
+                           "hem/ops/summaries.py:64-75 — opt-in, adds one "
+                           "backward pass per write).")
     misc.add_argument("--summarize_weights", action="store_true", default=False,
                       help="Write per-parameter histograms + means at each epoch end "
                            "(the reference's per-layer weight summaries, "

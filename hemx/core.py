@@ -44,6 +44,10 @@ class Ctx:
         self.rng = rng
         self.capture = capture
         self.intermediates: dict = {}
+        # scope stack maintained by composite layers (sequential) so nested
+        # records get unique hierarchical names ("encoder/c1" vs "decoder/c1"
+        # — the TF variable-scope analog)
+        self._scope: list = []
 
     def next_rng(self) -> jax.Array:
         if self.rng is None:
@@ -53,7 +57,7 @@ class Ctx:
 
     def record(self, name: str, value: jax.Array) -> None:
         if self.capture:
-            self.intermediates[name] = value
+            self.intermediates["/".join(self._scope + [name])] = value
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,8 +114,9 @@ def sequential(*layers: Layer, name: str = "sequential") -> Layer:
     def apply(params, state, x, ctx):
         new_state = dict(state)
         for n, layer in zip(names, layers):
+            ctx._scope.append(n)   # inner records land under "<n>/..."
             x, s = layer.apply(params[n], state[n], x, ctx)
-            new_state[n] = s
+            ctx._scope.pop()
             ctx.record(n, x)
         return x, new_state
 

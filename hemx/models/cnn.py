@@ -128,9 +128,25 @@ class CnnModel(ModelPlugin):
                                     Ctx(training=False, rng=ts["rng"]))
             return (d + 1.0) / 2.0
 
+        def capture(ts, batch):
+            ctx = Ctx(training=True, rng=common.step_rng(ts), capture=True)
+            self._forward(ts["params"], ts["mstate"], batch["image"][:8], ctx)
+            return common.summarizable_stats(ctx.intermediates)
+
+        def report_grads(ts, batch):
+            def loss_fn(params):
+                _, loss, _ = self._forward(
+                    params, ts["mstate"], batch["image"],
+                    Ctx(training=True, rng=common.step_rng(ts)))
+                return loss
+            return common.summarizable_stats(jax.grad(loss_fn)(ts["params"]))
+
         self._jit_train = jit_step(train_step, self.mesh)
         self._jit_eval = jit_step(eval_step, self.mesh, donate_argnums=())
         self._jit_recon = jit_step(recon, self.mesh, donate_argnums=())
+        self._jit_capture = jit_step(capture, self.mesh, donate_argnums=())
+        self._jit_grad_report = jit_step(report_grads, self.mesh,
+                                         donate_argnums=())
 
     def train(self, ts, stream):
         ts, metrics = self._jit_train(ts, next(stream))
@@ -138,6 +154,12 @@ class CnnModel(ModelPlugin):
 
     def eval_losses(self, ts, batch) -> dict:
         return self._jit_eval(ts, batch)
+
+    def capture_activations(self, ts, batch):
+        return self._jit_capture(ts, batch)
+
+    def grad_report(self, ts, batch):
+        return self._jit_grad_report(ts, batch)
 
     def write_summaries(self, writer, step, ts, batch) -> None:
         n = min(self.args.examples, batch["image"].shape[0])

@@ -97,6 +97,42 @@ def grad_norm(grads):
     return optax.global_norm(grads)
 
 
+def summarizable_stats(tree, max_sample: int = 65536) -> dict:
+    """Per-leaf summary stats for --summarize_activations/--summarize_gradients
+    (reference per-layer vocabulary: hem/ops/layers.py:121-131 scalar mean +
+    histogram per layer output; hem/ops/summaries.py:13-42 zero-fraction;
+    :64-75 per-variable gradient histograms).
+
+    TPU-first: runs INSIDE the capture jit so only a scalar mean,
+    zero-fraction, and a bounded flat sample per leaf cross the D2H link —
+    never the full activation/gradient tensors. The host builds the
+    TF-bucketed HistogramProto from the sample.
+    """
+    out = {}
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in flat:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        v = leaf.reshape(-1).astype(jnp.float32)
+        out[name] = {
+            "mean": jnp.mean(v),
+            "zero_fraction": jnp.mean((v == 0.0).astype(jnp.float32)),
+            "sample": v[:max_sample],
+        }
+    return out
+
+
+def write_stat_summaries(writer, step: int, stats: dict, prefix: str) -> None:
+    """Write summarizable_stats output under the reference tag taxonomy."""
+    for name, s in stats.items():
+        writer.scalar(f"{prefix}/{name}/mean",
+                      float(jax.device_get(s["mean"])), step)
+        writer.scalar(f"{prefix}/{name}/zero_fraction",
+                      float(jax.device_get(s["zero_fraction"])), step)
+        writer.histogram(f"{prefix}/{name}",
+                         np.asarray(jax.device_get(s["sample"])), step)
+
+
 def apply_updates_group(optimizer: optax.GradientTransformation, grads,
                         opt_state, params):
     updates, new_opt = optimizer.update(grads, opt_state, params)

@@ -254,12 +254,61 @@ class ConditionalGanBase(ModelPlugin):
             g, _ = self.g_forward(ts["params"], ts["mstate"], prep, ctx)
             return g, prep
 
+        def capture(ts, batch):
+            """Per-layer activation stats (G and D forward) for
+            --summarize_activations; 8 rows, stats reduced on-device."""
+            small = {k: v[:8] for k, v in batch.items()}
+            rng = common.step_rng(ts)
+            ctx_g = Ctx(training=True, rng=rng, capture=True)
+            prep = self.prepare(small, ctx_g)
+            g, _ = self.g_forward(ts["params"], ts["mstate"], prep, ctx_g)
+            acts = {f"generator/{k}": v
+                    for k, v in ctx_g.intermediates.items()}
+            ctx_d = Ctx(training=True, rng=rng, capture=True)
+            self.d_forward(ts["params"], ts["mstate"], prep, prep["y"], ctx_d)
+            acts.update({f"discriminator/{k}": v
+                         for k, v in ctx_d.intermediates.items()})
+            return common.summarizable_stats(acts)
+
+        def report_grads(ts, batch):
+            """Per-variable D and G gradient stats for --summarize_gradients."""
+            rng = common.step_rng(ts)
+            prep = self.prepare(batch, Ctx(training=True, rng=rng))
+
+            def d_loss_fn(dp):
+                params = {**ts["params"], "discriminator": dp}
+                ctx = Ctx(training=True, rng=rng)
+                g, _ = self.g_forward(params, ts["mstate"], prep, ctx)
+                real_logits, _ = self.d_forward(params, ts["mstate"], prep,
+                                                prep["y"], ctx)
+                fake_logits, _ = self.d_forward(params, ts["mstate"], prep, g,
+                                                Ctx(training=True, rng=rng))
+                _, d_loss, _, _ = self._gan_losses(real_logits, fake_logits)
+                return d_loss
+
+            def g_loss_fn(gp):
+                params = {**ts["params"], "generator": gp}
+                ctx = Ctx(training=True, rng=rng)
+                g, _ = self.g_forward(params, ts["mstate"], prep, ctx)
+                fake_logits, _ = self.d_forward(params, ts["mstate"], prep, g,
+                                                Ctx(training=True, rng=rng))
+                extra, _ = self.extra_g_loss(g, prep)
+                return self._g_loss_from_fake(fake_logits) + extra
+
+            d_grads = jax.grad(d_loss_fn)(ts["params"]["discriminator"])
+            g_grads = jax.grad(g_loss_fn)(ts["params"]["generator"])
+            return common.summarizable_stats(
+                {"discriminator": d_grads, "generator": g_grads})
+
         self._jit_d = jit_step(d_step, self.mesh)
         self._jit_g = jit_step(g_step, self.mesh)
         self._jit_eval = jit_step(eval_step, self.mesh, donate_argnums=())
         self._jit_predict = jit_step(predict, self.mesh, donate_argnums=())
         self._jit_sample = jit_step(sample, self.mesh, donate_argnums=(),
                                     batch_argnums=(1,))
+        self._jit_capture = jit_step(capture, self.mesh, donate_argnums=())
+        self._jit_grad_report = jit_step(report_grads, self.mesh,
+                                         donate_argnums=())
 
     # ------------------------------------------------------------------- API
     @property
@@ -274,6 +323,12 @@ class ConditionalGanBase(ModelPlugin):
 
     def eval_losses(self, ts, batch) -> dict:
         return self._jit_eval(ts, batch)
+
+    def capture_activations(self, ts, batch):
+        return self._jit_capture(ts, batch)
+
+    def grad_report(self, ts, batch):
+        return self._jit_grad_report(ts, batch)
 
     # --------------------------------------------------------------- summaries
     def depth_range(self):

@@ -299,11 +299,63 @@ class GanModel(ModelPlugin):
                                    Ctx(training=True, rng=rng))
             return (g + 1.0) / 2.0
 
+        def capture(ts, batch):
+            """Per-layer activation stats (G on z, D on real x) for
+            --summarize_activations; 8 rows, stats reduced on-device."""
+            x = 2.0 * (batch["image"][:8] - 0.5)
+            rng = common.step_rng(ts)
+            z = sample_z(rng, x.shape[0])
+            ctx_g = Ctx(training=True, rng=rng, capture=True)
+            self._g_forward(ts["params"], ts["mstate"], z, ctx_g)
+            acts = {f"generator/{k}": v
+                    for k, v in ctx_g.intermediates.items()}
+            ctx_d = Ctx(training=True, rng=rng, capture=True)
+            self._d_forward(ts["params"], ts["mstate"], x, ctx_d)
+            acts.update({f"discriminator/{k}": v
+                         for k, v in ctx_d.intermediates.items()})
+            return common.summarizable_stats(acts)
+
+        def report_grads(ts, batch):
+            """Per-variable D and G gradient stats (one critic + one
+            generator loss evaluation, no update) for --summarize_gradients."""
+            x = 2.0 * (batch["image"] - 0.5)
+            rng = common.step_rng(ts)
+            rng, zk = jax.random.split(rng)
+            z = sample_z(zk, x.shape[0])
+
+            def d_loss_fn(dp):
+                params = {**ts["params"], "discriminator": dp}
+                g, _ = self._g_forward(params, ts["mstate"], z,
+                                       Ctx(training=True, rng=rng))
+                d_real, _ = self._d_forward(params, ts["mstate"], x,
+                                            Ctx(training=True, rng=rng))
+                d_fake, _ = self._d_forward(params, ts["mstate"], g,
+                                            Ctx(training=True, rng=rng))
+                _, d_loss = self._losses(d_real, d_fake)
+                return d_loss
+
+            def g_loss_fn(gp_):
+                params = {**ts["params"], "generator": gp_}
+                g, _ = self._g_forward(params, ts["mstate"], z,
+                                       Ctx(training=True, rng=rng))
+                d_fake, _ = self._d_forward(params, ts["mstate"], g,
+                                            Ctx(training=True, rng=rng))
+                return (L.gan_g_loss(d_fake) if model_type == "gan"
+                        else L.wgan_g_loss(d_fake))
+
+            d_grads = jax.grad(d_loss_fn)(ts["params"]["discriminator"])
+            g_grads = jax.grad(g_loss_fn)(ts["params"]["generator"])
+            return common.summarizable_stats(
+                {"discriminator": d_grads, "generator": g_grads})
+
         self._jit_fused = jit_step(fused_gan_step, self.mesh)
         self._jit_d = jit_step(d_step, self.mesh)
         self._jit_g = jit_step(g_step, self.mesh)
         self._jit_eval = jit_step(eval_step, self.mesh, donate_argnums=())
         self._sample = jax.jit(sample, static_argnums=(2,))
+        self._jit_capture = jit_step(capture, self.mesh, donate_argnums=())
+        self._jit_grad_report = jit_step(report_grads, self.mesh,
+                                         donate_argnums=())
 
     def train(self, ts, stream):
         if self.model_type == "gan":
@@ -315,6 +367,12 @@ class GanModel(ModelPlugin):
 
     def eval_losses(self, ts, batch) -> dict:
         return self._jit_eval(ts, batch)
+
+    def capture_activations(self, ts, batch):
+        return self._jit_capture(ts, batch)
+
+    def grad_report(self, ts, batch):
+        return self._jit_grad_report(ts, batch)
 
     def write_summaries(self, writer, step, ts, batch) -> None:
         n = min(self.args.examples, batch["image"].shape[0])

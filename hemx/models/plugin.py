@@ -57,6 +57,18 @@ class ModelPlugin:
     def write_summaries(self, writer, step, train_state, batch) -> None:
         pass
 
+    def capture_activations(self, train_state, batch) -> Optional[dict]:
+        """Per-layer activation stats for --summarize_activations (the
+        reference's inline per-layer summaries, hem/ops/layers.py:121-131),
+        as common.summarizable_stats output. None = unsupported."""
+        return None
+
+    def grad_report(self, train_state, batch) -> Optional[dict]:
+        """Per-variable gradient stats for --summarize_gradients
+        (reference: hem/ops/summaries.py:64-75), as
+        common.summarizable_stats output. None = unsupported."""
+        return None
+
 
 def _scan() -> None:
     global _SCANNED

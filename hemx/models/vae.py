@@ -168,16 +168,39 @@ class VaeModel(ModelPlugin):
                                        Ctx(training=False, rng=ts["rng"]))
             return d_real
 
+        def capture(ts, batch):
+            ctx = Ctx(training=True, rng=common.step_rng(ts), capture=True)
+            self._forward(ts["params"], ts["mstate"], batch["image"][:8], ctx)
+            return common.summarizable_stats(ctx.intermediates)
+
+        def report_grads(ts, batch):
+            def loss_fn(params):
+                d_real, z_mean, z_stddev, _, _ = self._forward(
+                    params, ts["mstate"], batch["image"],
+                    Ctx(training=True, rng=common.step_rng(ts)))
+                losses = self._losses(batch["image"], d_real, z_mean, z_stddev)
+                return losses["d_loss"] if parity else losses["total_loss"]
+            return common.summarizable_stats(jax.grad(loss_fn)(ts["params"]))
+
         self._jit_train = jit_step(train_step, self.mesh)
         self._jit_eval = jit_step(eval_step, self.mesh, donate_argnums=())
         self._jit_recon = jit_step(recon, self.mesh, donate_argnums=())
         self._decode_samples = jax.jit(decode_samples, static_argnums=(2,))
+        self._jit_capture = jit_step(capture, self.mesh, donate_argnums=())
+        self._jit_grad_report = jit_step(report_grads, self.mesh,
+                                         donate_argnums=())
 
     def train(self, ts, stream):
         return self._jit_train(ts, next(stream))
 
     def eval_losses(self, ts, batch) -> dict:
         return self._jit_eval(ts, batch)
+
+    def capture_activations(self, ts, batch):
+        return self._jit_capture(ts, batch)
+
+    def grad_report(self, ts, batch):
+        return self._jit_grad_report(ts, batch)
 
     def write_summaries(self, writer, step, ts, batch) -> None:
         n = min(self.args.examples, batch["image"].shape[0])

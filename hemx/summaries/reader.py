@@ -128,3 +128,77 @@ def get_histogram_values(logdir: str, tag: str) -> list[tuple[int, dict]]:
                     rows.append((ev["step"], decode_histo(v["histo"])))
     rows.sort(key=lambda r: r[0])
     return rows
+
+
+def get_histogram_tags(logdir: str) -> list[str]:
+    tags = set()
+    for path in event_files(logdir):
+        for ev in iter_events(path):
+            for v in ev["values"]:
+                if "histo" in v and "tag" in v:
+                    tags.add(v["tag"])
+    return sorted(tags)
+
+
+def _histo_percentiles(h: dict, qs) -> list[float]:
+    """Approximate percentiles of one HistogramProto by linear interpolation
+    across its (exponential) buckets."""
+    counts = list(h.get("bucket", []))
+    limits = list(h.get("bucket_limit", []))
+    total = sum(counts)
+    if total <= 0 or not limits:
+        return [h.get("min", 0.0)] * len(qs)
+    lowers = [h["min"]] + limits[:-1]
+    uppers = [min(l, h["max"]) for l in limits]
+    out = []
+    for q in qs:
+        target = total * q / 100.0
+        cum = 0.0
+        val = h["max"]
+        for lo, hi, c in zip(lowers, uppers, counts):
+            if cum + c >= target:
+                frac = 0.0 if c == 0 else (target - cum) / c
+                val = lo + frac * (hi - lo)
+                break
+            cum += c
+        out.append(max(h["min"], min(val, h["max"])))
+    return out
+
+
+def get_histogram_plot_data(logdir: str, tag: str,
+                            qs=(0, 7, 25, 50, 75, 93, 100)):
+    """(steps, {q: [values...]}) — the TensorBoard-style percentile fan
+    for a histogram tag (rebuild of the reference's matplotlib histogram
+    renderers, hem/util/events.py:120-205)."""
+    rows = get_histogram_values(logdir, tag)
+    steps = [s for s, _ in rows]
+    series = {q: [] for q in qs}
+    for _, h in rows:
+        vals = _histo_percentiles(h, qs)
+        for q, v in zip(qs, vals):
+            series[q].append(v)
+    return steps, series
+
+
+def render_histogram_plot(logdir: str, tag: str, out_path: str) -> str:
+    """Render one histogram tag's evolution as a shaded percentile-fan PNG
+    (reference: hem/util/events.py get_histogram_plot)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    steps, series = get_histogram_plot_data(logdir, tag)
+    if not steps:
+        raise ValueError(f"no histogram events for tag {tag!r} in {logdir}")
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    bands = [(0, 100, 0.12), (7, 93, 0.22), (25, 75, 0.35)]
+    for lo, hi, alpha in bands:
+        ax.fill_between(steps, series[lo], series[hi], alpha=alpha,
+                        color="C0", linewidth=0)
+    ax.plot(steps, series[50], color="C0", linewidth=1.5, label="median")
+    ax.set_xlabel("step")
+    ax.set_title(tag)
+    ax.grid(alpha=0.3)
+    fig.savefig(out_path, bbox_inches="tight", dpi=110)
+    plt.close(fig)
+    return out_path

@@ -96,6 +96,14 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
             w.scalars({f"losses/{k}": v for k, v in metrics.items()
                        if k != "grad_finite"}, step)
         model.write_summaries(w, step, ts, summary_batch)
+        if getattr(args, "summarize_activations", False):
+            stats = model.capture_activations(ts, summary_batch)
+            if stats:
+                common.write_stat_summaries(w, step, stats, "activations")
+        if getattr(args, "summarize_gradients", False):
+            stats = model.grad_report(ts, summary_batch)
+            if stats:
+                common.write_stat_summaries(w, step, stats, "gradients")
         if end_of_epoch and getattr(args, "summarize_weights", False):
             flat = jax.tree_util.tree_flatten_with_path(ts["params"])[0]
             for path, leaf in flat:

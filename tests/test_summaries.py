@@ -203,3 +203,70 @@ class TestMoments:
         from hemx.summaries.reader import get_all_events
         tags = set(get_all_events(str(tmp_path)))
         assert {"distribution/mean", "distribution/variance"} <= tags
+
+
+class TestPerLayerInstrumentation:
+    """--summarize_activations / --summarize_gradients (reference per-layer
+    vocabulary: hem/ops/layers.py:121-131, hem/ops/summaries.py:64-75) and
+    histogram-plot rendering (hem/util/events.py:120-205)."""
+
+    def _cnn(self):
+        import jax
+        from tests.conftest import make_args
+        from hemx.data.synthetic import SyntheticDataset
+        from hemx.models.plugin import get_model
+        from hemx.parallel.mesh import make_mesh
+        from hemx.parallel.dp import shard_batch
+        args = make_args(model="cnn", batch_size=2)
+        mesh = make_mesh(0)
+        splits = SyntheticDataset.get_datasets(args)
+        model = get_model("cnn")(args, mesh)
+        gb = args.batch_size * mesh.size
+        host = next(splits["train"].iter_epoch(gb, shuffle=False))
+        ts = model.init_state(jax.random.PRNGKey(0), host)
+        return model, ts, shard_batch({"image": host["image"]}, mesh)
+
+    def test_activation_and_gradient_tags(self, tmp_path):
+        from hemx.models import common
+        from hemx.summaries.reader import (get_all_events,
+                                           get_histogram_tags)
+        model, ts, batch = self._cnn()
+        acts = model.capture_activations(ts, batch)
+        grads = model.grad_report(ts, batch)
+        assert acts and grads
+        w = EventsWriter(str(tmp_path))
+        common.write_stat_summaries(w, 1, acts, "activations")
+        common.write_stat_summaries(w, 1, grads, "gradients")
+        w.close()
+        scalars = set(get_all_events(str(tmp_path)))
+        histos = set(get_histogram_tags(str(tmp_path)))
+        # per-layer outputs of the first encoder conv must be present
+        assert any(t.startswith("activations/") and t.endswith("c1/mean")
+                   for t in scalars)
+        assert any(t.startswith("activations/") and
+                   t.endswith("c1/zero_fraction") for t in scalars)
+        assert any(t.startswith("gradients/") and t.endswith("/mean")
+                   for t in scalars)
+        assert any(t.startswith("activations/") for t in histos)
+        assert any(t.startswith("gradients/") for t in histos)
+
+    def test_histogram_plot_renders(self, tmp_path):
+        import numpy as _np
+        from hemx.summaries.reader import (get_histogram_plot_data,
+                                           render_histogram_plot)
+        w = EventsWriter(str(tmp_path))
+        rng = _np.random.default_rng(0)
+        for step in range(5):
+            w.histogram("weights/w", rng.normal(scale=1 + step, size=4096),
+                        step)
+        w.close()
+        steps, series = get_histogram_plot_data(str(tmp_path), "weights/w")
+        assert steps == [0, 1, 2, 3, 4]
+        # the spread should widen with the growing scale
+        assert (series[93][4] - series[7][4]) > (series[93][0] - series[7][0])
+        # median of a zero-mean normal stays near 0
+        assert abs(series[50][0]) < 0.2
+        out = render_histogram_plot(str(tmp_path), "weights/w",
+                                    str(tmp_path / "h.png"))
+        import os as _os
+        assert _os.path.getsize(out) > 1000
