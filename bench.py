@@ -8,13 +8,23 @@ throughput in images/sec/chip vs the reference's 2-GPU floorplans record
 throughput was ≈ 3,044 img/s through D+G updates — we report the same
 "training images consumed per second" definition).
 
-Usage: python bench.py [--batch 512] [--image 64] [--steps 30]
+Modes:
+  python bench.py                 # compute-only headline (device-resident batch)
+  python bench.py --e2e           # full input pipeline: synthetic TFRecords ->
+                                  #   parse -> cache -> shuffle -> uint8 H2D ->
+                                  #   on-chip u8_normalize -> train step; reports
+                                  #   steady img/s AND the first-epoch cache-fill
+                                  #   penalty (reference: doc/guide.tex:130-137)
+  python bench.py --fid --dir D   # FID of a trained GAN run at D (pixel
+                                  #   extractor; --fid_encoder_dir adds a
+                                  #   trained-encoder extractor) vs its dataset
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -23,6 +33,267 @@ import numpy as np
 # Reference IWGAN: 36,904 train() calls, each running 5 critic + 1 generator
 # update on a 512 global batch, in 37,246 s => train-calls/sec * batch:
 REF_IWGAN_IMG_PER_SEC = 36904 * 512 / 37246.0  # ≈ 507.3 images/sec (2 GPUs)
+# Reference first-epoch decode+cache penalty: 9:28 vs 0:49 steady
+# (doc/guide.tex:130-137) => 11.6x
+REF_FIRST_EPOCH_PENALTY = (9 * 60 + 28) / 49.0
+
+
+def _barrier(ts):
+    """Force a real device->host transfer of an updated parameter: under
+    this PJRT runtime block_until_ready resolves optimistically, so only
+    device_get actually drains the step chain."""
+    import jax
+    leaf = jax.tree_util.tree_leaves(ts["params"])[0]
+    np.asarray(jax.device_get(leaf))
+
+
+def _iwgan(args, mesh):
+    from hemx.config import default_args as make_args
+    from hemx.models.plugin import get_model
+
+    margs = make_args(model="iwgan", batch_size=args.batch // mesh.devices.size,
+                      latent_size=args.latent, n_disc_train=5,
+                      optimizer="adam", lr=1e-4, beta1=0.5, beta2=0.9,
+                      synthetic_shape=[args.image, args.image, 3])
+    return get_model("iwgan")(margs, mesh), margs
+
+
+def run_compute(args) -> dict:
+    """Compute-only: one device-resident batch streamed forever."""
+    import jax
+    from hemx.parallel.mesh import make_mesh
+    from hemx.parallel.dp import shard_batch
+
+    mesh = make_mesh(0)
+    n_chips = mesh.devices.size
+    model, margs = _iwgan(args, mesh)
+    rng = np.random.default_rng(0)
+    host = {"image": rng.random((args.batch, args.image, args.image, 3),
+                                dtype=np.float32)}
+    ts = model.init_state(jax.random.PRNGKey(0), host)
+    device_batch = shard_batch(host, mesh)
+
+    def stream():
+        while True:
+            yield device_batch
+
+    s = stream()
+    for _ in range(args.warmup):
+        ts, _ = model.train(ts, s)
+    _barrier(ts)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        ts, _ = model.train(ts, s)
+    _barrier(ts)
+    elapsed = time.perf_counter() - t0
+
+    img_per_sec = args.steps * args.batch / elapsed
+    return {
+        "metric": "IWGAN train images/sec/chip (bs512, 5 critic steps, 64x64x3)",
+        "value": round(img_per_sec / n_chips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / n_chips / REF_IWGAN_IMG_PER_SEC, 3),
+        "detail": {
+            "step_time_s": round(elapsed / args.steps, 5),
+            "images_per_sec_total": round(img_per_sec, 2),
+            "n_chips": n_chips,
+            "reference_images_per_sec_2gpu": round(REF_IWGAN_IMG_PER_SEC, 2),
+        },
+    }
+
+
+def _write_synthetic_tfrecords(path: str, n: int, image: int, seed: int = 0):
+    """One-time synthetic uint8 TFRecord file (content-keyed, reused)."""
+    if os.path.exists(path):
+        return
+    from hemx.data.plugin import bytes_feature, int64_feature
+    from hemx.data.synthetic import _make_images
+    from hemx.data.tfrecord import TFRecordWriter
+    from hemx.summaries import proto
+
+    imgs = np.round(_make_images(n, image, image, 3, seed) * 255.0)
+    imgs = imgs.astype(np.uint8)
+    tmp = path + ".tmp"
+    with TFRecordWriter(tmp) as w:
+        for img in imgs:
+            w.write(proto.example({
+                "image": bytes_feature(img.tobytes()),
+                "height": int64_feature(image),
+                "width": int64_feature(image),
+            }))
+    os.replace(tmp, path)
+
+
+def run_e2e(args) -> dict:
+    """End-to-end: TFRecord parse -> compact uint8 cache -> shuffle ->
+    uint8 over the H2D link -> Pallas u8_normalize on-chip -> train step.
+    Times the first (cache-fill) epoch against steady-state epochs, like the
+    reference's guide transcript (doc/guide.tex:130-137)."""
+    import jax
+    from hemx.data.pipeline import (Pipeline, Split, TFRecordSource,
+                                    make_place_stages,
+                                    u8_image_device_transform)
+    from hemx.parallel.mesh import make_mesh
+    from hemx.summaries import proto
+
+    mesh = make_mesh(0)
+    n_chips = mesh.devices.size
+    model, margs = _iwgan(args, mesh)
+
+    rec_path = os.path.join(
+        args.cache, f"bench_synth_{args.e2e_count}x{args.image}.tfrecords")
+    os.makedirs(args.cache, exist_ok=True)
+    _write_synthetic_tfrecords(rec_path, args.e2e_count, args.image)
+
+    image = args.image
+
+    def parse(record: bytes) -> dict:
+        feats = proto.parse_example(record)
+        img = np.frombuffer(feats["image"]["bytes"][0],
+                            np.uint8).reshape(image, image, 3)
+        return {"image": img}
+
+    split = Split(TFRecordSource([rec_path], parse), name="train",
+                  device_transform=u8_image_device_transform())
+    transfer, transform = make_place_stages(mesh, split,
+                                            keys=model.batch_keys)
+    pipeline = Pipeline(split, args.batch, seed=0, place=transfer,
+                        post=transform)
+
+    host_batch = next(split.iter_epoch(args.batch, shuffle=False))
+    ts = model.init_state(jax.random.PRNGKey(0), host_batch)
+
+    def stream():
+        e = 0
+        while True:
+            yield from pipeline.epoch(e)
+            e += 1
+
+    s = stream()
+    calls_per_epoch = (args.e2e_count // args.batch) // 6  # 5 critic + 1 G
+
+    def one_epoch():
+        t0 = time.perf_counter()
+        nonlocal ts
+        for _ in range(calls_per_epoch):
+            ts, _ = model.train(ts, s)
+        _barrier(ts)
+        return time.perf_counter() - t0
+
+    # warm the compile cache so epoch-1 timing is pipeline, not XLA
+    for _ in range(2):
+        ts, _ = model.train(ts, s)
+    _barrier(ts)
+    # rebuild the source so the record cache is cold for the timed epoch 1
+    split.source._materialized = None
+    split.source._records = None
+
+    first = one_epoch()
+    steady = min(one_epoch() for _ in range(max(args.e2e_epochs - 1, 1)))
+    img_s = calls_per_epoch * args.batch / steady
+    return {
+        "metric": "IWGAN end-to-end images/sec/chip (TFRecord+uint8 pipeline)",
+        "value": round(img_s / n_chips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_s / n_chips / REF_IWGAN_IMG_PER_SEC, 3),
+        "detail": {
+            "first_epoch_s": round(first, 3),
+            "steady_epoch_s": round(steady, 3),
+            "first_epoch_penalty": round(first / steady, 2),
+            "reference_first_epoch_penalty": round(REF_FIRST_EPOCH_PENALTY, 2),
+            "calls_per_epoch": calls_per_epoch,
+            "records": args.e2e_count,
+            "n_chips": n_chips,
+        },
+    }
+
+
+def _load_run(run_dir: str, mesh):
+    """Rebuild a model from a run dir's options.json + latest checkpoint
+    (the JAX replacement for TF meta-graph surgery, paper_metrics.py:54-72)."""
+    import types
+    import jax
+    import hemx
+    from hemx.config import load_options
+    from hemx.models.plugin import get_model
+    from hemx.train.checkpoint import CheckpointManager
+
+    opts = load_options(os.path.join(run_dir, "options.json"))
+    margs = types.SimpleNamespace(**opts)
+    margs.dir = run_dir
+    splits = hemx.get_dataset_tensors(margs)
+    model = get_model(margs.model)(margs, mesh)
+    gb = margs.batch_size * mesh.devices.size
+    host = next(splits["train"].iter_epoch(gb, shuffle=False))
+    if model.batch_keys:
+        host = {k: v for k, v in host.items() if k in model.batch_keys}
+    ts = model.init_state(jax.random.PRNGKey(margs.seed), host)
+    wrapper = CheckpointManager(run_dir).restore(
+        {"train_state": ts, "epoch": np.int64(0)})
+    return model, wrapper["train_state"], splits, margs
+
+
+def run_fid(args) -> dict:
+    """FID between a trained generator's samples and its dataset.
+
+    Extractors: pixel (always) and, with --fid_encoder_dir, a trained hemx
+    cnn/vae encoder. The reference published no FID (SURVEY.md §6); the
+    data-vs-data FID floor is reported for calibration.
+    """
+    import jax
+    from hemx.data.pipeline import make_place
+    from hemx.metrics.fid import (encoder_features, fid_from_images,
+                                  pixel_features)
+    from hemx.parallel.mesh import make_mesh
+
+    mesh = make_mesh(0)
+    model, ts, splits, margs = _load_run(args.dir, mesh)
+    n = args.fid_samples
+    place = make_place(mesh, splits["train"], keys=("image",))
+
+    def real_images(split, count):
+        out = []
+        got = 0
+        gb = margs.batch_size * mesh.devices.size
+        for b in split.iter_epoch(gb, shuffle=False):
+            img = np.asarray(jax.device_get(place(b)["image"]))
+            out.append(img)
+            got += img.shape[0]
+            if got >= count:
+                break
+        return np.concatenate(out)[:count]
+
+    reals = real_images(splits["train"], n)
+    vals = real_images(splits.get("validate", splits["train"]), n)
+    fakes = []
+    per = margs.batch_size * mesh.devices.size
+    for i in range(-(-n // per)):
+        f = model._sample(ts, jax.random.fold_in(jax.random.PRNGKey(1), i),
+                          per)
+        fakes.append(np.asarray(jax.device_get(f)))
+    fakes = np.concatenate(fakes)[:n]
+
+    out = {
+        "fid_pixel": round(fid_from_images(reals, fakes), 4),
+        "fid_pixel_data_floor": round(fid_from_images(reals, vals), 4),
+        "extractor": "pixel8x8",
+        "samples": int(n),
+        "checkpoint_dir": args.dir,
+    }
+    if args.fid_encoder_dir:
+        enc_model, enc_ts, _, _ = _load_run(args.fid_encoder_dir, mesh)
+        ext = encoder_features(enc_model, enc_ts)
+        out["fid_encoder"] = round(fid_from_images(reals, fakes, ext), 4)
+        out["fid_encoder_data_floor"] = round(
+            fid_from_images(reals, vals, ext), 4)
+        out["encoder_dir"] = args.fid_encoder_dir
+    return {
+        "metric": "IWGAN sample FID (pixel extractor, vs train split)",
+        "value": out["fid_pixel"],
+        "unit": "fid",
+        "vs_baseline": out["fid_pixel_data_floor"],
+        "detail": out,
+    }
 
 
 def main() -> None:
@@ -37,67 +308,34 @@ def main() -> None:
                         help="bf16 activations with f32 master params is the "
                              "TPU-native default (+14%% over f32 activations; "
                              "losses verified stable).")
+    parser.add_argument("--e2e", action="store_true",
+                        help="Benchmark the full TFRecord+uint8 input "
+                             "pipeline, incl. first-epoch cache fill.")
+    parser.add_argument("--e2e_count", type=int, default=18432,
+                        help="Records in the synthetic TFRecord file.")
+    parser.add_argument("--e2e_epochs", type=int, default=4)
+    parser.add_argument("--cache", default="/tmp/hemx_bench")
+    parser.add_argument("--fid", action="store_true",
+                        help="Compute sample FID for a trained run (--dir).")
+    parser.add_argument("--dir", default=None,
+                        help="Trained GAN run dir for --fid.")
+    parser.add_argument("--fid_encoder_dir", default=None,
+                        help="Trained cnn/vae run whose encoder is the "
+                             "second FID extractor.")
+    parser.add_argument("--fid_samples", type=int, default=4096)
     args = parser.parse_args()
 
-    import jax
     from hemx.ops.layers import set_compute_dtype
     set_compute_dtype(args.dtype)
-    from hemx.config import default_args as make_args
-    from hemx.models.plugin import get_model
-    from hemx.parallel.mesh import make_mesh
-    from hemx.parallel.dp import shard_batch
 
-    mesh = make_mesh(0)
-    n_chips = mesh.devices.size
-    margs = make_args(model="iwgan", batch_size=args.batch // n_chips,
-                      latent_size=args.latent, n_disc_train=5,
-                      optimizer="adam", lr=1e-4, beta1=0.5, beta2=0.9,
-                      synthetic_shape=[args.image, args.image, 3])
-    model = get_model("iwgan")(margs, mesh)
-
-    rng = np.random.default_rng(0)
-    host = {"image": rng.random((args.batch, args.image, args.image, 3),
-                                dtype=np.float32)}
-    ts = model.init_state(jax.random.PRNGKey(0), host)
-    device_batch = shard_batch(host, mesh)
-
-    def stream():
-        while True:
-            yield device_batch
-
-    def barrier(ts):
-        # Force a real device->host transfer of an updated parameter: under
-        # this PJRT runtime block_until_ready resolves optimistically, so
-        # only device_get actually drains the step chain (the parameter
-        # depends on the full forward+backward+update of every queued step).
-        leaf = jax.tree_util.tree_leaves(ts["params"])[0]
-        np.asarray(jax.device_get(leaf))
-
-    s = stream()
-    for _ in range(args.warmup):
-        ts, metrics = model.train(ts, s)
-    barrier(ts)
-
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        ts, metrics = model.train(ts, s)
-    barrier(ts)
-    elapsed = time.perf_counter() - t0
-
-    img_per_sec = args.steps * args.batch / elapsed
-    img_per_sec_chip = img_per_sec / n_chips
-    print(json.dumps({
-        "metric": "IWGAN train images/sec/chip (bs512, 5 critic steps, 64x64x3)",
-        "value": round(img_per_sec_chip, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_sec_chip / REF_IWGAN_IMG_PER_SEC, 3),
-        "detail": {
-            "step_time_s": round(elapsed / args.steps, 5),
-            "images_per_sec_total": round(img_per_sec, 2),
-            "n_chips": n_chips,
-            "reference_images_per_sec_2gpu": round(REF_IWGAN_IMG_PER_SEC, 2),
-        },
-    }))
+    if args.fid:
+        assert args.dir, "--fid requires --dir <trained GAN run>"
+        result = run_fid(args)
+    elif args.e2e:
+        result = run_e2e(args)
+    else:
+        result = run_compute(args)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

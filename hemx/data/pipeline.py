@@ -152,11 +152,18 @@ def u8_image_device_transform(keys=("image",), lo: float = 0.0,
     return transform
 
 
-def make_place(mesh, split=None, keys=None):
-    """Host batch -> sharded device batch (+ the split's device transform).
+def make_place_stages(mesh, split=None, keys=None):
+    """(transfer, transform): the two halves of host-batch placement.
 
-    ``keys``: optional key subset (a model's ``batch_keys``) — unused fields
-    are dropped on the host so they never cross the H2D link.
+    ``transfer`` (safe on the prefetch thread) drops keys the model never
+    reads and device_puts the sharded batch — pure H2D, no XLA program.
+    ``transform`` (consumer thread ONLY) dispatches the split's jitted
+    device transform (e.g. uint8 -> float normalization).
+
+    The split matters: every multi-device XLA program must be enqueued from
+    ONE thread so per-device queues see collectives in one order — the CPU
+    backend's in-process collectives hard-deadlock on cross-thread enqueue
+    interleaving, and ordering discipline is correct on real meshes too.
     """
     import jax
     from hemx.parallel.dp import shard_batch
@@ -164,13 +171,24 @@ def make_place(mesh, split=None, keys=None):
     dt = getattr(split, "device_transform", None) if split is not None else None
     jdt = jax.jit(dt) if dt is not None else None
 
-    def place(b):
+    def transfer(b):
         if keys:
             b = {k: v for k, v in b.items() if k in keys}
-        b = shard_batch(b, mesh)
+        return shard_batch(b, mesh)
+
+    def transform(b):
         return jdt(b) if jdt is not None else b
 
-    return place
+    return transfer, transform
+
+
+def make_place(mesh, split=None, keys=None):
+    """Single-threaded placement: transfer + transform in one call
+    (summary batches, inference loops). For the prefetch Pipeline use
+    make_place_stages so the jitted transform stays on the consumer thread.
+    """
+    transfer, transform = make_place_stages(mesh, split, keys)
+    return lambda b: transform(transfer(b))
 
 
 class Pipeline:
@@ -181,12 +199,16 @@ class Pipeline:
     """
 
     def __init__(self, split: Split, global_batch: int, *, shuffle: bool = True,
-                 seed: int = 0, place: Optional[Callable] = None, depth: int = 2):
+                 seed: int = 0, place: Optional[Callable] = None,
+                 post: Optional[Callable] = None, depth: int = 2):
         self.split = split
         self.global_batch = global_batch
         self.shuffle = shuffle
         self.seed = seed
         self.place = place or (lambda x: x)
+        # post runs on the CONSUMER thread (jitted device transforms must be
+        # enqueued from one thread — see make_place_stages)
+        self.post = post or (lambda x: x)
         self.depth = depth
 
     def epoch(self, epoch: int) -> Iterator[dict]:
@@ -211,7 +233,7 @@ class Pipeline:
             item = q.get()
             if item is sentinel:
                 break
-            yield item
+            yield self.post(item)
         t.join()
         if err:
             raise err[0]

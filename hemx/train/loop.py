@@ -29,7 +29,7 @@ import numpy as np
 
 from hemx.config import init_working_dir
 from hemx.models import common
-from hemx.data.pipeline import Pipeline, make_place
+from hemx.data.pipeline import Pipeline, make_place, make_place_stages
 from hemx.summaries.events import SummaryWriterSet
 from hemx.train.checkpoint import CheckpointManager
 from hemx.utils import terminal as term
@@ -56,7 +56,9 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
     writers = SummaryWriterSet(args.dir)
     global_batch = args.batch_size * mesh.size
     train_split = splits["train"]
-    place = make_place(mesh, train_split, keys=model.batch_keys)
+    transfer, transform = make_place_stages(mesh, train_split,
+                                            keys=model.batch_keys)
+    place = lambda b: transform(transfer(b))
     batches = train_split.batches_per_epoch(global_batch)
     if args.epoch_size > 0:
         batches = min(batches, args.epoch_size)
@@ -65,7 +67,7 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
                          f"global batch ({global_batch})")
 
     pipeline = Pipeline(train_split, global_batch, shuffle=args.shuffle,
-                        seed=args.seed, place=place)
+                        seed=args.seed, place=transfer, post=transform)
 
     # shapes + init
     host_batch = next(train_split.iter_epoch(global_batch, shuffle=False))

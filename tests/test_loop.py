@@ -43,11 +43,18 @@ class TestLoop:
         train_series = get_tag_values(str(tmp_path / "train"), "losses/loss")
         assert len(train_series) >= 2
         assert get_tag_values(str(tmp_path / "validate"), "losses/loss")
-        # --test_epochs empty -> test runs at end of training
-        assert get_tag_values(str(tmp_path / "test"), "losses/loss")
+        # --test_epochs empty -> the test split is NEVER touched
+        # (reference: hem/util/training.py:164-169 — ADVICE r1 fix)
+        assert get_tag_values(str(tmp_path / "test"), "losses/loss") == []
         # montages present
         tags = set(get_all_events(str(tmp_path / "train")))
         assert "losses/grad_norm" in tags
+
+    def test_test_epochs_trigger(self, tmp_path):
+        """The test split runs exactly at --test_epochs."""
+        args, result = _train(tmp_path, epochs=2, test_epochs=[1])
+        series = get_tag_values(str(tmp_path / "test"), "losses/loss")
+        assert len(series) == 1
 
     def test_resume_plus_n(self, tmp_path):
         _train(tmp_path, epochs=1)
