@@ -14,14 +14,43 @@ from hemx.data.pipeline import ArraySource, Split, u8_image_device_transform
 from hemx.data.plugin import DataPlugin
 
 
-def _make_images(n: int, h: int, w: int, c: int, seed: int) -> np.ndarray:
+def _make_images(n: int, h: int, w: int, c: int, seed: int,
+                 blobs: int = 5, chunk: int = 2048) -> np.ndarray:
+    """Structured scenes: a linear-gradient background plus ``blobs`` soft
+    elliptical blobs with random position/size/orientation/color.
+
+    ~`4c + 8*blobs` degrees of freedom per image (≈52 for RGB) — well under
+    a 200-dim bottleneck, so autoencoders can genuinely compress and GANs
+    have a low-dimensional manifold to model. (The round-1 generator was a
+    per-image random field with ~768 iid dof: a latent-200 AE could do no
+    better than the dataset mean image, which made convergence-parity runs
+    vacuous.)
+    """
     rng = np.random.default_rng(seed)
-    # smooth blobs rather than white noise so conv nets have structure to fit
-    base = rng.normal(size=(n, -(-h // 4), -(-w // 4), c)).astype(np.float32)
-    up = np.repeat(np.repeat(base, 4, axis=1), 4, axis=2)[:, :h, :w, :]
-    lo = up.min(axis=(1, 2, 3), keepdims=True)
-    hi = up.max(axis=(1, 2, 3), keepdims=True)
-    return (up - lo) / np.maximum(hi - lo, 1e-6)
+    yy = np.linspace(0.0, 1.0, h, dtype=np.float32)[:, None]
+    xx = np.linspace(0.0, 1.0, w, dtype=np.float32)[None, :]
+    out = np.empty((n, h, w, c), np.float32)
+    for s in range(0, n, chunk):
+        m = min(chunk, n - s)
+        g0 = rng.uniform(0.25, 0.75, (m, 1, 1, c)).astype(np.float32)
+        gx = rng.uniform(-0.4, 0.4, (m, 1, 1, c)).astype(np.float32)
+        gy = rng.uniform(-0.4, 0.4, (m, 1, 1, c)).astype(np.float32)
+        img = g0 + gx * xx[None, :, :, None] + gy * yy[None, :, :, None]
+        for _ in range(blobs):
+            cx = rng.uniform(0.1, 0.9, (m, 1, 1)).astype(np.float32)
+            cy = rng.uniform(0.1, 0.9, (m, 1, 1)).astype(np.float32)
+            rx = rng.uniform(0.06, 0.25, (m, 1, 1)).astype(np.float32)
+            ry = rng.uniform(0.06, 0.25, (m, 1, 1)).astype(np.float32)
+            th = rng.uniform(0.0, np.pi, (m, 1, 1)).astype(np.float32)
+            col = rng.uniform(-0.8, 0.8, (m, c)).astype(np.float32)
+            dx = xx[None] - cx
+            dy = yy[None] - cy
+            u = (np.cos(th) * dx + np.sin(th) * dy) / rx
+            v = (-np.sin(th) * dx + np.cos(th) * dy) / ry
+            blob = np.exp(-(u * u + v * v))
+            img += blob[..., None] * col[:, None, None, :]
+        out[s:s + m] = np.clip(img, 0.0, 1.0)
+    return out
 
 
 class SyntheticDataset(DataPlugin):

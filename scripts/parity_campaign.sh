@@ -16,7 +16,7 @@ cd "$(dirname "$0")/.."
 W=workspace/parity
 mkdir -p "$W"
 
-COMMON="--dataset synthetic --synthetic_count 32768 --synthetic_eval_count 4096 \
+COMMON="--dataset synthetic --synthetic_count 16384 --synthetic_eval_count 4096 \
  --synthetic_u8 --synthetic_shape 64 64 3 --batch_size 512 --epochs 100 \
  --max_to_keep 3 --seed 7"
 
