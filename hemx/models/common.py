@@ -140,13 +140,20 @@ def apply_updates_group(optimizer: optax.GradientTransformation, grads,
 
 
 def host_scalars(metrics: dict) -> dict:
-    """Pull scalar metrics to host floats (single transfer per dict)."""
+    """Pull scalar metrics to host floats in ONE device_get round trip.
+
+    The transfer synchronizes with the step that produced the metrics, so
+    callers control pipelining by choosing how often to call this (the
+    training loop fetches at an interval unless --check_numerics needs
+    per-step values) — each call costs a full tunnel round trip here.
+    """
+    host = jax.device_get(metrics)
     out = {}
-    for k, v in metrics.items():
+    for k, v in host.items():
         if k == "grad_finite":
-            out[k] = {n: bool(f) for n, f in jax.device_get(v).items()}
+            out[k] = {n: bool(f) for n, f in v.items()}
         else:
-            out[k] = float(jax.device_get(v))
+            out[k] = float(v)
     return out
 
 

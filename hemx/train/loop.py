@@ -138,8 +138,16 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
         per_epoch = (args.summary_freq if getattr(args, "summary_freq", 0)
                      else (10 if epoch < 3 else 3))
         cadence = max(batches // per_epoch, 1)
+        # Metric fetch interval: each host_scalars call is a device->host
+        # round trip that SYNCHRONIZES with the just-dispatched step, so
+        # fetching every step would serialize the device queue on the
+        # tunnel latency. Fetch every few steps (the tqdm postfix lags a
+        # little); --check_numerics restores per-step fetches since the NaN
+        # check must see every gradient.
+        fetch_every = 1 if args.check_numerics else min(cadence, 4)
         prof_start = min(10, max(batches - 2, 0))
         prof_stop = min(prof_start + 10, batches - 1)
+        running: dict = {}
         for i in iterator:
             if (args.profile and epoch == current_epoch and i == prof_start
                     and not profiling):
@@ -152,13 +160,16 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
                 jax.device_get(ts["step"])
                 jax.profiler.stop_trace()
                 profiling = False
-            host = common.host_scalars(metrics)
-            if args.check_numerics:
-                common.raise_on_bad_grads(host)
-            running = avg.update({k: v for k, v in host.items()
-                                  if k != "grad_finite"})
-            if tqdm is not None:
-                iterator.set_postfix({k: f"{v:.4g}" for k, v in running.items()})
+            if (i % fetch_every == 0 or i % cadence == 0
+                    or i == batches - 1):
+                host = common.host_scalars(metrics)
+                if args.check_numerics:
+                    common.raise_on_bad_grads(host)
+                running = avg.update({k: v for k, v in host.items()
+                                      if k != "grad_finite"})
+                if tqdm is not None:
+                    iterator.set_postfix({k: f"{v:.4g}"
+                                          for k, v in running.items()})
             if i % cadence == 0:
                 write_train_summary(int(jax.device_get(ts["step"])), host)
 

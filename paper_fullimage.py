@@ -98,6 +98,12 @@ def main(argv=None) -> int:
     parser.add_argument("--strides", type=int, nargs="*",
                         default=[10, 8, 6, 4, 2, 1])
     parser.add_argument("--chunk", type=int, default=512)
+    parser.add_argument("--scene_shape", type=int, nargs=3, default=None,
+                        help="Override the dataset image shape for SCENES "
+                             "(e.g. 96 96 3) so full images are larger than "
+                             "the 65x65 training patches — the synthetic "
+                             "analog of NYUv2's 427x561 frames vs 65x65 "
+                             "crops.")
     a = parser.parse_args(argv)
 
     opts = load_options(os.path.join(a.dir, "options.json"))
@@ -105,6 +111,13 @@ def main(argv=None) -> int:
     args.dir = a.dir
     mesh = make_mesh(getattr(args, "n_devices", 1) or 1)
     splits = hemx.get_dataset_tensors(args)
+    scene_splits = splits
+    if a.scene_shape:
+        # scenes come from a larger rendering of the same distribution; the
+        # model itself is initialized/restored at its training patch size
+        scene_args = types.SimpleNamespace(**vars(args))
+        scene_args.synthetic_shape = list(a.scene_shape)
+        scene_splits = hemx.get_dataset_tensors(scene_args)
     model = get_model(args.model)(args, mesh)
     gb = args.batch_size * mesh.devices.size
     host_batch = next(splits["train"].iter_epoch(gb, shuffle=False))
@@ -121,9 +134,14 @@ def main(argv=None) -> int:
                    else (0.0, 1.0))
     hemx.message(f"model depth range: {depth_range}")
 
-    split = splits[a.split]
+    split = scene_splits[a.split]
     scenes = next(split.iter_epoch(min(a.n_scenes, split.count),
                                    shuffle=False))
+    # uint8-shipping datasets normalize on-device in the training pipeline;
+    # this CLI assembles patches host-side, so normalize here
+    scenes = {k: (np.asarray(v).astype(np.float32) / 255.0
+                  if np.asarray(v).dtype == np.uint8 else np.asarray(v))
+              for k, v in scenes.items()}
     out_dir = os.path.join(a.dir, "fullimage")
     os.makedirs(out_dir, exist_ok=True)
     n_scenes = scenes["image"].shape[0]

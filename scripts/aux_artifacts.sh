@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# Post-campaign round artifacts (VERDICT r1 #2, #3, #8):
+#   1. FID of the parity IWGAN run (pixel + trained-cnn-encoder extractors)
+#   2. end-to-end pipeline benchmark on the real chip
+#   3. paper_standalone trained on 65px synthetic scenes, then
+#      paper_fullimage over >=4 larger scenes at strides 4 and 1
+# Results land in workspace/artifacts/ and are summarized into PARITY.md /
+# PERF.md by hand.
+set -u
+cd "$(dirname "$0")/.."
+A=workspace/artifacts
+mkdir -p "$A"
+
+echo "=== fid: $(date)"
+python bench.py --fid --dir workspace/parity/iwgan \
+    --fid_encoder_dir workspace/parity/cnn \
+    > "$A/fid.json" 2> "$A/fid.log" || echo "fid failed"
+
+echo "=== e2e bench: $(date)"
+python bench.py --e2e > "$A/e2e.json" 2> "$A/e2e.log" || echo "e2e failed"
+
+echo "=== compute bench: $(date)"
+python bench.py > "$A/compute.json" 2> "$A/compute.log" || echo "bench failed"
+
+echo "=== paper_standalone train: $(date)"
+if [ ! -f "$A/standalone.done" ]; then
+  python train.py --model paper_standalone --model_version mean_adjusted \
+      --dataset synthetic --synthetic_count 8192 --synthetic_eval_count 1024 \
+      --synthetic_shape 65 65 3 --synthetic_u8 \
+      --batch_size 256 --epochs 25 --optimizer adam --g_lr 1e-4 \
+      --g_beta1 0.5 --g_beta2 0.999 --max_to_keep 2 --seed 7 \
+      --dir "$A/standalone" > "$A/standalone.log" 2>&1 \
+    && touch "$A/standalone.done"
+fi
+
+echo "=== paper_fullimage: $(date)"
+python paper_fullimage.py --dir "$A/standalone" --n_scenes 6 \
+    --strides 4 1 --chunk 256 --scene_shape 96 96 3 \
+    > "$A/fullimage.log" 2>&1 || echo "fullimage failed"
+
+echo "=== paper_metrics: $(date)"
+python paper_metrics.py --dir "$A/standalone" --max_batches 8 \
+    > "$A/metrics.log" 2>&1 || echo "paper_metrics failed"
+
+echo "=== aux artifacts complete: $(date)"
