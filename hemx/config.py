@@ -225,7 +225,7 @@ def init_working_dir(args) -> str:
 # Default-true booleans with a BooleanOptionalAction --no-<flag> companion:
 # these must be dumped in their negative form when False or the
 # options.config round-trip would silently re-enable them.
-_NEGATABLE_FLAGS = {"shuffle"}
+_NEGATABLE_FLAGS = {"shuffle", "fused_critic_loop"}
 
 
 def dump_options(args, path: str) -> None:

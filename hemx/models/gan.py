@@ -27,6 +27,7 @@ Parity notes:
 
 from __future__ import annotations
 
+import argparse
 import math
 
 import jax
@@ -60,6 +61,15 @@ class GanModel(ModelPlugin):
                                          "gradient-penalty norm instead of the "
                                          "reference's whole-batch norm quirk "
                                          "(models/gan.py:229)."),
+            "--fused_critic_loop": dict(
+                action=argparse.BooleanOptionalAction,
+                default=True,
+                help="Compile the whole n_disc_train critic loop + generator "
+                     "update as ONE XLA program per train() call (identical "
+                     "numerics — the same step bodies, unrolled). One device "
+                     "dispatch instead of six matters when the host-device "
+                     "link has latency (this TPU is behind a tunnel); "
+                     "--no-fused_critic_loop restores per-substep dispatch."),
         }
 
     def __init__(self, args, mesh):
@@ -348,9 +358,23 @@ class GanModel(ModelPlugin):
             return common.summarizable_stats(
                 {"discriminator": d_grads, "generator": g_grads})
 
+        def fused_loop(ts, *batches):
+            """The full WGAN/IWGAN train call — n_disc_train critic updates
+            then one generator update — as one XLA program. Exactly the same
+            step bodies, unrolled; numerics identical to dispatching them
+            separately (DP-equality tested)."""
+            d_metrics = {}
+            for b in batches[:-1]:
+                ts, d_metrics = d_step(ts, b)
+            ts, g_metrics = g_step(ts, batches[-1])
+            return ts, {**d_metrics, **g_metrics}
+
+        n_sub = self.args.n_disc_train + 1
         self._jit_fused = jit_step(fused_gan_step, self.mesh)
         self._jit_d = jit_step(d_step, self.mesh)
         self._jit_g = jit_step(g_step, self.mesh)
+        self._jit_fused_loop = jit_step(
+            fused_loop, self.mesh, batch_argnums=tuple(range(1, n_sub + 1)))
         self._jit_eval = jit_step(eval_step, self.mesh, donate_argnums=())
         self._sample = jax.jit(sample, static_argnums=(2,))
         self._jit_capture = jit_step(capture, self.mesh, donate_argnums=())
@@ -360,6 +384,9 @@ class GanModel(ModelPlugin):
     def train(self, ts, stream):
         if self.model_type == "gan":
             return self._jit_fused(ts, next(stream))
+        if getattr(self.args, "fused_critic_loop", True):
+            batches = [next(stream) for _ in range(self.args.n_disc_train + 1)]
+            return self._jit_fused_loop(ts, *batches)
         for _ in range(self.args.n_disc_train):
             ts, d_metrics = self._jit_d(ts, next(stream))
         ts, metrics = self._jit_g(ts, next(stream))

@@ -42,4 +42,19 @@ echo "=== paper_metrics: $(date)"
 python paper_metrics.py --dir "$A/standalone" --max_batches 8 \
     > "$A/metrics.log" 2>&1 || echo "paper_metrics failed"
 
+echo "=== visualize (parity iwgan): $(date)"
+python visualize.py --dir workspace/parity/iwgan --all \
+    > "$A/visualize.log" 2>&1 || echo "visualize failed"
+
+echo "=== paper_visualize (standalone metrics charts): $(date)"
+python paper_visualize.py "$A/standalone" --out "$A/experiment_charts.pdf" \
+    > "$A/paper_visualize.log" 2>&1 || echo "paper_visualize failed"
+
+echo "=== events loss curves (all five anchors): $(date)"
+python events.py workspace/parity/cnn workspace/parity/vae \
+    --out "$A/parity_ae_losses.pdf" > /dev/null 2>&1 || true
+python events.py workspace/parity/gan workspace/parity/wgan \
+    workspace/parity/iwgan --tags g_loss d_loss \
+    --out "$A/parity_gan_losses.pdf" > /dev/null 2>&1 || true
+
 echo "=== aux artifacts complete: $(date)"

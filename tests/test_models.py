@@ -122,6 +122,36 @@ class TestGanFamily:
         assert not np.array_equal(rng0, rng1)  # ...but consume fresh keys
         assert not np.array_equal(rng1, rng2)
 
+    def test_fused_loop_matches_per_substep_dispatch(self, name):
+        """--fused_critic_loop (one XLA program per train call) must produce
+        exactly the same updated params as per-substep dispatch."""
+        if name == "gan":
+            pytest.skip("vanilla gan is always one fused step")
+        import jax.numpy as jnp
+        kw = dict(batch_size=4, lr=1e-3, optimizer="sgd", n_disc_train=2,
+                  synthetic_count=128)
+        args_f, mesh, splits, model_f, ts_f, gb = _setup(
+            name, fused_critic_loop=True, **kw)
+        args_u, _, _, model_u, ts_u, _ = _setup(
+            name, fused_critic_loop=False, **kw)
+        host_batches = list(splits["train"].iter_epoch(gb, shuffle=False))[:3]
+
+        def once(model, ts):
+            s = iter([shard_batch(b, mesh) for b in host_batches])
+            return model.train(ts, s)
+
+        ts_f, mf = once(model_f, ts_f)
+        ts_u, mu = once(model_u, ts_u)
+        for k in ("g_loss", "d_loss"):
+            np.testing.assert_allclose(float(jax.device_get(mf[k])),
+                                       float(jax.device_get(mu[k])),
+                                       rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(ts_f["params"]),
+                        jax.tree_util.tree_leaves(ts_u["params"])):
+            np.testing.assert_allclose(np.asarray(jax.device_get(a)),
+                                       np.asarray(jax.device_get(b)),
+                                       rtol=1e-5, atol=1e-7)
+
     def test_wgan_clip(self, name):
         if name != "wgan":
             pytest.skip("clip is wgan-only")
