@@ -54,6 +54,7 @@ def _iwgan(args, mesh):
     margs = make_args(model="iwgan", batch_size=args.batch // mesh.devices.size,
                       latent_size=args.latent, n_disc_train=5,
                       optimizer="adam", lr=1e-4, beta1=0.5, beta2=0.9,
+                      fused_critic_loop=not args.no_fused,
                       synthetic_shape=[args.image, args.image, 3])
     return get_model("iwgan")(margs, mesh), margs
 
@@ -308,6 +309,10 @@ def main() -> None:
                         help="bf16 activations with f32 master params is the "
                              "TPU-native default (+14%% over f32 activations; "
                              "losses verified stable).")
+    parser.add_argument("--no_fused", action="store_true", default=False,
+                        help="A/B switch: dispatch each critic sub-step "
+                             "separately instead of the fused one-program "
+                             "train call.")
     parser.add_argument("--e2e", action="store_true",
                         help="Benchmark the full TFRecord+uint8 input "
                              "pipeline, incl. first-epoch cache fill.")
