@@ -19,8 +19,9 @@ from hemx.train.checkpoint import CheckpointManager
 
 
 def _train(tmp_path, epochs, seed=11, **overrides):
+    overrides.setdefault("synthetic_count", 32)
     args = make_args(model="cnn", batch_size=2, epochs=str(epochs),
-                     dir=str(tmp_path), seed=seed, synthetic_count=32,
+                     dir=str(tmp_path), seed=seed,
                      synthetic_shape=[32, 32, 3], examples=4, **overrides)
     mesh = make_mesh(0)
     splits = SyntheticDataset.get_datasets(args)
@@ -69,6 +70,24 @@ class TestLoop:
         # asking for 2 epochs again is a no-op (already at epoch 2)
         args, result = _train(tmp_path, epochs=2)
         assert result["epoch"] == 2
+
+    def test_summary_freq_overrides_cadence(self, tmp_path):
+        """--summary_freq N writes N in-epoch summaries instead of the
+        reference 10x/3x cadence (ADVICE r1: the flag was dead)."""
+        # synthetic_count=64, global batch 16 -> 4 batches/epoch. Loss
+        # scalars are written at i % cadence == 0 plus end-of-epoch (the
+        # step-0 baseline summary has no loss scalar):
+        # default epoch-1 cadence (10x) floors to every step -> steps
+        # 1,2,3,4; --summary_freq 2 -> cadence 2 -> steps 1,3 + end (4).
+        _train(tmp_path / "default", epochs=1, synthetic_count=64)
+        _train(tmp_path / "freq2", epochs=1, synthetic_count=64,
+               summary_freq=2)
+        n_default = len(get_tag_values(str(tmp_path / "default" / "train"),
+                                       "losses/loss"))
+        n_freq2 = len(get_tag_values(str(tmp_path / "freq2" / "train"),
+                                     "losses/loss"))
+        assert n_freq2 == 3
+        assert n_default == 4
 
     def test_epoch_size_caps_batches(self, tmp_path):
         args, result = _train(tmp_path, epochs=1, epoch_size=2)
