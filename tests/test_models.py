@@ -254,6 +254,53 @@ class TestDataParallel:
                                        np.asarray(jax.device_get(b)),
                                        rtol=2e-3, atol=2e-5)
 
+    def test_dp_vae_matches_single_device(self):
+        """VAE (reparameterized z draw inside the jitted step, sum-reduced
+        losses): 8-device sharded == 1-device on the same global batch —
+        the per-position-deterministic threefry draw must be sharding-
+        invariant for this to hold. sgd so param deltas are exactly lr*grad
+        (rmsprop's step-1 g/|g| normalization turns reduction-order sign
+        noise on near-zero gradients into full 2*lr*sqrt(10) flips)."""
+        args8, mesh8, splits, model8, ts8, _ = _setup("vae", n_devices=0,
+                                                      batch_size=2,
+                                                      optimizer="sgd",
+                                                      lr=1e-3)
+        args1, mesh1, _, model1, ts1, _ = _setup("vae", n_devices=1,
+                                                 batch_size=2 * mesh8.size,
+                                                 optimizer="sgd", lr=1e-3)
+        host_batch = next(splits["train"].iter_epoch(
+            2 * mesh8.size, shuffle=False))
+
+        def once(model, ts, mesh):
+            s = iter([shard_batch(host_batch, mesh)])
+            return model.train(ts, s)
+
+        # ts is donated to the jitted step — materialize the old params
+        # first (CLAUDE.md: donated train states).
+        old8 = [np.asarray(x) for x in
+                jax.tree_util.tree_leaves(jax.device_get(ts8["params"]))]
+        old1 = [np.asarray(x) for x in
+                jax.tree_util.tree_leaves(jax.device_get(ts1["params"]))]
+        ts8n, m8 = once(model8, ts8, mesh8)
+        ts1n, m1 = once(model1, ts1, mesh1)
+        np.testing.assert_allclose(float(jax.device_get(m8["total_loss"])),
+                                   float(jax.device_get(m1["total_loss"])),
+                                   rtol=1e-5)
+        # Compare the sgd UPDATES (-lr*grad). The sum-reduced VAE loss makes
+        # gradients ~1e3-scale, so reduction-order noise is visible at
+        # rtol~1e-3; and conv biases that feed straight into BN have
+        # exactly-zero true gradient (the BN mean subtraction cancels the
+        # bias), so those leaves are pure float noise — covered by an atol
+        # proportional to the largest update anywhere in the tree.
+        d8 = [np.asarray(jax.device_get(a)) - o for a, o in
+              zip(jax.tree_util.tree_leaves(ts8n["params"]), old8)]
+        d1 = [np.asarray(jax.device_get(a)) - o for a, o in
+              zip(jax.tree_util.tree_leaves(ts1n["params"]), old1)]
+        global_scale = max(np.abs(x).max() for x in d1)
+        for a, b in zip(d8, d1):
+            np.testing.assert_allclose(a, b, rtol=2e-3,
+                                       atol=2e-3 * global_scale)
+
     def test_dp_conditional_matches_single_device(self):
         """ConditionalGanBase (pix2pix, deterministic config): 8-device DP
         equals single device for one full D+G train() call."""
