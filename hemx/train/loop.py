@@ -148,6 +148,7 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
         prof_start = min(10, max(batches - 2, 0))
         prof_stop = min(prof_start + 10, batches - 1)
         running: dict = {}
+        host_step: int | None = None
         for i in iterator:
             if (args.profile and epoch == current_epoch and i == prof_start
                     and not profiling):
@@ -162,7 +163,11 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
                 profiling = False
             if (i % fetch_every == 0 or i % cadence == 0
                     or i == batches - 1):
-                host = common.host_scalars(metrics)
+                # Fold the step counter into the SAME device_get as the
+                # metrics — a separate fetch would cost a second full
+                # tunnel round trip per summary write.
+                host = common.host_scalars({**metrics, "_step": ts["step"]})
+                host_step = int(host.pop("_step"))
                 if args.check_numerics:
                     common.raise_on_bad_grads(host)
                 running = avg.update({k: v for k, v in host.items()
@@ -171,9 +176,11 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
                     iterator.set_postfix({k: f"{v:.4g}"
                                           for k, v in running.items()})
             if i % cadence == 0:
-                write_train_summary(int(jax.device_get(ts["step"])), host)
+                write_train_summary(host_step, host)
 
-        step = int(jax.device_get(ts["step"]))
+        # the i == batches-1 fetch above guarantees host_step is current
+        step = (host_step if host_step is not None
+                else int(jax.device_get(ts["step"])))
         write_train_summary(step, running, end_of_epoch=True)
         ckpt.save({"train_state": ts, "epoch": np.int64(epoch + 1)}, epoch + 1)
         if "validate" in splits:
@@ -204,12 +211,16 @@ def inference(model, ts, split, args, mesh, writer, step: int, *,
         n = min(n, max_batches)
     avg = MovingAverage()
     running: dict = {}
+    # Dispatch every eval batch before fetching: one device_get for the
+    # whole split instead of one tunnel round trip per batch.
+    queued = []
     for batch in split.iter_epoch(global_batch, shuffle=False):
-        losses = common.host_scalars(model.eval_losses(ts, place(batch)))
-        running = avg.update(losses)
+        queued.append(model.eval_losses(ts, place(batch)))
         n -= 1
         if n <= 0:
             break
+    for losses in jax.device_get(queued):
+        running = avg.update({k: float(v) for k, v in losses.items()})
     if running:
         writer.scalars({f"losses/{k}": v for k, v in running.items()}, step)
         term.message(f"{label}: " + ", ".join(f"{k}={v:.5g}"
