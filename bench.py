@@ -90,7 +90,8 @@ def run_compute(args) -> dict:
 
     img_per_sec = args.steps * args.batch / elapsed
     return {
-        "metric": "IWGAN train images/sec/chip (bs512, 5 critic steps, 64x64x3)",
+        "metric": f"IWGAN train images/sec/chip (bs{args.batch}, 5 critic "
+                  f"steps, {args.image}x{args.image}x3)",
         "value": round(img_per_sec / n_chips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / n_chips / REF_IWGAN_IMG_PER_SEC, 3),
@@ -340,7 +341,23 @@ def main() -> None:
         result = run_e2e(args)
     else:
         result = run_compute(args)
+        _attach_artifacts(result)
     print(json.dumps(result))
+
+
+def _attach_artifacts(result: dict) -> None:
+    """Fold previously-computed round artifacts (sample FID from
+    `bench.py --fid`, pipeline numbers from `bench.py --e2e`, both produced
+    by scripts/aux_artifacts.sh) into the headline JSON's detail, so the
+    one-line record carries quality alongside throughput."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    for name, key in (("fid.json", "fid"), ("e2e.json", "e2e")):
+        path = os.path.join(root, "workspace", "artifacts", name)
+        try:
+            with open(path) as f:
+                result.setdefault("detail", {})[key] = json.load(f)["detail"]
+        except (OSError, ValueError, KeyError):
+            pass
 
 
 if __name__ == "__main__":
