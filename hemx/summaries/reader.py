@@ -130,6 +130,38 @@ def get_histogram_values(logdir: str, tag: str) -> list[tuple[int, dict]]:
     return rows
 
 
+def decode_image(buf: bytes) -> bytes:
+    """Encoded PNG bytes from a Summary.Value Image submessage
+    (field 4 = encoded_image_string; reference read path
+    hem/util/events.py:84-109 used TF's EventAccumulator for this)."""
+    for f, wt, v in proto.iter_fields(buf):
+        if f == 4:
+            return v
+    return b""
+
+
+def get_image_values(logdir: str, tag: str) -> list[tuple[int, bytes]]:
+    """[(step, png_bytes)] for an image tag under logdir."""
+    rows = []
+    for path in event_files(logdir):
+        for ev in iter_events(path):
+            for v in ev["values"]:
+                if v.get("tag") == tag and "image" in v:
+                    rows.append((ev["step"], decode_image(v["image"])))
+    rows.sort(key=lambda r: r[0])
+    return rows
+
+
+def get_image_tags(logdir: str) -> list[str]:
+    tags = set()
+    for path in event_files(logdir):
+        for ev in iter_events(path):
+            for v in ev["values"]:
+                if "image" in v and "tag" in v:
+                    tags.add(v["tag"])
+    return sorted(tags)
+
+
 def get_histogram_tags(logdir: str) -> list[str]:
     tags = set()
     for path in event_files(logdir):

@@ -270,3 +270,50 @@ class TestPerLayerInstrumentation:
                                     str(tmp_path / "h.png"))
         import os as _os
         assert _os.path.getsize(out) > 1000
+
+
+class TestWebGui:
+    """The --serve frontend's pure pieces: run/index HTML generation, image
+    round-trip through the reader, and chart/histogram PNG rendering."""
+
+    @pytest.fixture()
+    def run_dir(self, tmp_path):
+        run = tmp_path / "myrun"
+        (run / "train").mkdir(parents=True)
+        (run / "options.config").write_text("model cnn\n")
+        w = EventsWriter(str(run / "train"))
+        for step in (1, 2, 3):
+            w.scalar("losses/loss", 1.0 / step, step)
+            w.histogram("acts/h", np.random.default_rng(step).normal(size=64),
+                        step)
+        img = (np.random.default_rng(0).random((8, 8, 3)) * 255).astype(
+            np.uint8)
+        w.image("examples/out", img, 3)
+        w.close()
+        return str(run)
+
+    def test_reader_image_roundtrip(self, run_dir):
+        from hemx.summaries.reader import get_image_tags, get_image_values
+        logdir = os.path.join(run_dir, "train")
+        assert get_image_tags(logdir) == ["examples/out"]
+        rows = get_image_values(logdir, "examples/out")
+        assert [s for s, _ in rows] == [3]
+        decoded = decode_png(rows[0][1])
+        assert decoded.shape == (8, 8, 3)
+
+    def test_html_pages(self, run_dir):
+        import visualize_gui as gui
+        idx = gui.index_html([run_dir])
+        assert "/run/0" in idx and "myrun" in idx
+        page = gui.run_html(0, run_dir)
+        assert "losses/loss" in page and "examples/out" in page
+        assert "acts/h" in page
+        gallery = gui.images_html(0, run_dir, "train", "examples/out")
+        assert "step 3" in gallery and "/image.png?" in gallery
+
+    def test_chart_renderers(self, run_dir):
+        import visualize_gui as gui
+        png = gui.render_scalar_png(run_dir, "train", "losses/loss")
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        png = gui.render_histogram_png(run_dir, "train", "acts/h")
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"

@@ -2,22 +2,36 @@
 """Run browser (reference: visualize_gui.py — a wxPython TensorBoard-events
 tree browser).
 
-The wx frontend is NOT implemented (wxPython is not part of this
-environment); this tool provides an interactive terminal browser over the
-same data instead: list workspace runs, their checkpoints and scalar tags,
-and render any tag to a PNG chart. If wxPython is importable we say so and
-still use the terminal browser.
+Two frontends over the same data:
+
+* terminal browser (default, and the only interactive option over ssh):
+  list workspace runs, their checkpoints and scalar tags, render any tag
+  to a PNG chart.
+* web GUI (``--serve [--port 6006]``): a dependency-free ``http.server``
+  app — run tree, per-run tag listing, inline scalar charts, histogram
+  percentile fans, and image-summary galleries, the same surfaces the
+  reference's wx ProjectFrame browsed (reference visualize_gui.py:16-230).
+  wxPython itself is not in this environment, so the graphical frontend is
+  a browser page instead of a wx window.
 """
 
 from __future__ import annotations
 
 import argparse
+import html
+import io
 import os
 import sys
+import urllib.parse
 
-from hemx.summaries.reader import get_all_events, get_tag_values
+from hemx.summaries.reader import (get_all_events, get_histogram_plot_data,
+                                   get_histogram_tags, get_image_tags,
+                                   get_image_values, get_scalar_tags,
+                                   get_tag_values)
 from hemx.train.checkpoint import CheckpointManager
 from hemx.utils.terminal import message
+
+PHASES = ("train", "validate", "test")
 
 
 def discover_runs(workspace: str) -> list[str]:
@@ -84,16 +98,194 @@ def tui(workspace: str) -> int:
         return 0
 
 
+# ---------------------------------------------------------------------------
+# Web GUI (--serve): stdlib http.server + matplotlib-Agg chart rendering.
+
+_STYLE = """<style>
+body{font-family:system-ui,sans-serif;margin:2em;max-width:70em}
+a{color:#06c;text-decoration:none} a:hover{text-decoration:underline}
+h1,h2{font-weight:600} code{background:#f3f3f3;padding:0 .3em}
+img{max-width:100%;border:1px solid #ddd;margin:.3em 0}
+ul{line-height:1.7}.dim{color:#888}
+</style>"""
+
+
+def _page(title: str, body: str) -> str:
+    return (f"<!doctype html><html><head><meta charset='utf-8'>"
+            f"<title>{html.escape(title)}</title>{_STYLE}</head>"
+            f"<body><h1>{html.escape(title)}</h1>{body}</body></html>")
+
+
+def index_html(runs: list[str]) -> str:
+    items = "".join(
+        f"<li><a href='/run/{i}'>{html.escape(r)}</a></li>"
+        for i, r in enumerate(runs))
+    return _page("hemx runs", f"<ul>{items}</ul>" if items
+                 else "<p class='dim'>no runs found</p>")
+
+
+def run_html(idx: int, run_dir: str) -> str:
+    ckpts = [e for e, _ in CheckpointManager(run_dir).checkpoints()]
+    parts = [f"<p><a href='/'>&larr; all runs</a></p>",
+             f"<p>checkpoints: <code>{html.escape(str(ckpts))}</code></p>"]
+    for phase in PHASES:
+        logdir = os.path.join(run_dir, phase)
+        scalars = get_scalar_tags(logdir)
+        histos = get_histogram_tags(logdir)
+        images = get_image_tags(logdir)
+        if not (scalars or histos or images):
+            continue
+        parts.append(f"<h2>{phase}</h2><ul>")
+        q = lambda tag: urllib.parse.urlencode(
+            {"run": idx, "phase": phase, "tag": tag})
+        for t in scalars:
+            parts.append(f"<li><a href='/chart?{q(t)}'>"
+                         f"{html.escape(t)}</a></li>")
+        for t in histos:
+            parts.append(f"<li><a href='/hist?{q(t)}'>{html.escape(t)}</a>"
+                         " <span class='dim'>(histogram)</span></li>")
+        for t in images:
+            parts.append(f"<li><a href='/images?{q(t)}'>{html.escape(t)}</a>"
+                         " <span class='dim'>(images)</span></li>")
+        parts.append("</ul>")
+    return _page(os.path.basename(run_dir) or run_dir, "".join(parts))
+
+
+def render_scalar_png(run_dir: str, phase: str, tag: str) -> bytes:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    series = get_tag_values(os.path.join(run_dir, phase), tag)
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    if series:
+        ax.plot([s for s, _ in series], [v for _, v in series])
+    ax.set_title(f"{os.path.basename(run_dir)} {phase}/{tag}")
+    ax.set_xlabel("step")
+    ax.grid(alpha=0.3)
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", bbox_inches="tight")
+    plt.close(fig)
+    return buf.getvalue()
+
+
+def render_histogram_png(run_dir: str, phase: str, tag: str) -> bytes:
+    """TensorBoard-style percentile fan (reference renderers:
+    hem/util/events.py:120-205)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    steps, series = get_histogram_plot_data(os.path.join(run_dir, phase), tag)
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    qs = sorted(series)
+    for lo, hi in zip(qs, qs[::-1]):
+        if lo >= hi:
+            break
+        ax.fill_between(steps, series[lo], series[hi], alpha=0.25,
+                        color="#3465a4", linewidth=0)
+    if 50 in series:
+        ax.plot(steps, series[50], color="#204a87")
+    ax.set_title(f"{os.path.basename(run_dir)} {phase}/{tag}")
+    ax.set_xlabel("step")
+    ax.grid(alpha=0.3)
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", bbox_inches="tight")
+    plt.close(fig)
+    return buf.getvalue()
+
+
+def images_html(idx: int, run_dir: str, phase: str, tag: str,
+                last_n: int = 8) -> str:
+    rows = get_image_values(os.path.join(run_dir, phase), tag)
+    parts = [f"<p><a href='/run/{idx}'>&larr; {html.escape(run_dir)}</a></p>"]
+    for step, _ in rows[-last_n:][::-1]:
+        q = urllib.parse.urlencode({"run": idx, "phase": phase, "tag": tag,
+                                    "step": step})
+        parts.append(f"<h2>step {step}</h2><img src='/image.png?{q}'>")
+    if not rows:
+        parts.append("<p class='dim'>no image events</p>")
+    return _page(f"{phase}/{tag}", "".join(parts))
+
+
+def serve(workspace: str, port: int) -> int:
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    runs = discover_runs(workspace)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _send(self, body: bytes, ctype: str = "text/html; charset=utf-8",
+                  code: int = 200) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _qs_run(self, qs) -> tuple[str, str, str]:
+            run_dir = runs[int(qs["run"][0])]  # index, not a path: no traversal
+            return run_dir, qs["phase"][0], qs["tag"][0]
+
+        def do_GET(self):
+            try:
+                parsed = urllib.parse.urlparse(self.path)
+                qs = urllib.parse.parse_qs(parsed.query)
+                if parsed.path == "/":
+                    self._send(index_html(runs).encode())
+                elif parsed.path.startswith("/run/"):
+                    i = int(parsed.path.split("/")[2])
+                    self._send(run_html(i, runs[i]).encode())
+                elif parsed.path == "/chart":
+                    d, p, t = self._qs_run(qs)
+                    self._send(render_scalar_png(d, p, t), "image/png")
+                elif parsed.path == "/hist":
+                    d, p, t = self._qs_run(qs)
+                    self._send(render_histogram_png(d, p, t), "image/png")
+                elif parsed.path == "/images":
+                    i = int(qs["run"][0])
+                    self._send(images_html(i, runs[i], qs["phase"][0],
+                                           qs["tag"][0]).encode())
+                elif parsed.path == "/image.png":
+                    d, p, t = self._qs_run(qs)
+                    step = int(qs["step"][0])
+                    png = dict(get_image_values(
+                        os.path.join(d, p), t)).get(step, b"")
+                    self._send(png, "image/png")
+                else:
+                    self._send(b"not found", "text/plain", 404)
+            except Exception as e:  # one bad request must not kill the server
+                self._send(f"error: {e}".encode(), "text/plain", 500)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    message(f"serving {len(runs)} runs at http://127.0.0.1:{port}/ "
+            "(ctrl-c to stop)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="hemx run browser")
     parser.add_argument("--workspace", default="workspace")
     parser.add_argument("--list", action="store_true",
                         help="Describe all runs and exit (non-interactive).")
+    parser.add_argument("--serve", action="store_true",
+                        help="Serve the web GUI instead of the terminal UI.")
+    parser.add_argument("--port", type=int, default=6006)
     a = parser.parse_args(argv)
+    if a.serve:
+        return serve(a.workspace, a.port)
     try:
         import wx  # noqa: F401  (the reference GUI; not in this image)
-        message("wxPython found but the wx frontend is not implemented in "
-                "this environment; using the terminal browser.", "warning")
+        message("wxPython found but the wx frontend is not implemented; use "
+                "--serve for the graphical (web) browser.", "warning")
     except ImportError:
         pass
     if a.list:
