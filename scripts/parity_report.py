@@ -60,6 +60,17 @@ def elapsed_seconds(model):
     return sum(int(x) for x in m) if m else None
 
 
+def fid_artifact() -> dict | None:
+    """Detail dict of workspace/artifacts/fid.json (bench.py --fid output),
+    or None before scripts/aux_artifacts.sh has run."""
+    path = os.path.join(W, "..", "artifacts", "fid.json")
+    try:
+        with open(path) as f:
+            return json.load(f)["detail"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def data_baselines():
     """L1/recon baselines of the synthetic distribution itself, so the
     absolute hemx numbers are interpretable: an AE that only learned the
@@ -172,6 +183,29 @@ def main() -> int:
         "property — near-binary line drawings — and is not comparable",
         "across datasets; the comparison that matters is converged-vs-",
         "baseline on each side.)",
+    ]
+
+    fid = fid_artifact()
+    if fid:
+        lines += [
+            "",
+            "## Sample quality (IWGAN anchor, FID)",
+            "",
+            "The reference published no FID (SURVEY.md §6); the data-vs-data",
+            "floor calibrates the scale (computed by `bench.py --fid` over",
+            "the trained parity IWGAN, `workspace/artifacts/fid.json`):",
+            "",
+            "| extractor | FID(generated, train) | FID(val, train) floor |",
+            "|---|---|---|",
+            f"| pixel 8×8 | {fid.get('fid_pixel', '—')} | "
+            f"{fid.get('fid_pixel_data_floor', '—')} |",
+        ]
+        if "fid_encoder" in fid:
+            lines.append(
+                f"| trained cnn encoder | {fid['fid_encoder']} | "
+                f"{fid.get('fid_encoder_data_floor', '—')} |")
+
+    lines += [
         "",
         "## Semantics checks reproduced from the reference",
         "",
