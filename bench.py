@@ -89,7 +89,7 @@ def run_compute(args) -> dict:
     elapsed = time.perf_counter() - t0
 
     img_per_sec = args.steps * args.batch / elapsed
-    return {
+    result = {
         "metric": f"IWGAN train images/sec/chip (bs{args.batch}, 5 critic "
                   f"steps, {args.image}x{args.image}x3)",
         "value": round(img_per_sec / n_chips, 2),
@@ -102,6 +102,19 @@ def run_compute(args) -> dict:
             "reference_images_per_sec_2gpu": round(REF_IWGAN_IMG_PER_SEC, 2),
         },
     }
+    _flag_nonbaseline_config(result, args)
+    return result
+
+
+def _flag_nonbaseline_config(result: dict, args) -> None:
+    """REF_IWGAN_IMG_PER_SEC is the reference's bs512/64px record; a run at
+    any other --batch/--image would report an apples-to-oranges ratio, so
+    drop vs_baseline and say why (ADVICE r2)."""
+    if args.batch != 512 or args.image != 64:
+        result["vs_baseline"] = None
+        result["vs_baseline_note"] = (
+            f"baseline is bs512/64px; this run is bs{args.batch}/"
+            f"{args.image}px — ratio omitted (not comparable)")
 
 
 def _write_synthetic_tfrecords(path: str, n: int, image: int, seed: int = 0):
@@ -191,9 +204,13 @@ def run_e2e(args) -> dict:
     split.source._records = None
 
     first = one_epoch()
-    steady = min(one_epoch() for _ in range(max(args.e2e_epochs - 1, 1)))
+    # steady-state = MEDIAN of the remaining epochs: the reference transcript's
+    # steady number is a typical epoch, not the luckiest one (VERDICT r2
+    # weak #6 — min() was the most optimistic epoch).
+    epochs = sorted(one_epoch() for _ in range(max(args.e2e_epochs - 1, 1)))
+    steady = float(np.median(epochs))
     img_s = calls_per_epoch * args.batch / steady
-    return {
+    result = {
         "metric": "IWGAN end-to-end images/sec/chip (TFRecord+uint8 pipeline)",
         "value": round(img_s / n_chips, 2),
         "unit": "images/sec/chip",
@@ -201,6 +218,8 @@ def run_e2e(args) -> dict:
         "detail": {
             "first_epoch_s": round(first, 3),
             "steady_epoch_s": round(steady, 3),
+            "steady_epochs_all_s": [round(e, 3) for e in epochs],
+            "steady_statistic": "median",
             "first_epoch_penalty": round(first / steady, 2),
             "reference_first_epoch_penalty": round(REF_FIRST_EPOCH_PENALTY, 2),
             "calls_per_epoch": calls_per_epoch,
@@ -208,6 +227,8 @@ def run_e2e(args) -> dict:
             "n_chips": n_chips,
         },
     }
+    _flag_nonbaseline_config(result, args)
+    return result
 
 
 def _load_run(run_dir: str, mesh):

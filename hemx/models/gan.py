@@ -327,10 +327,16 @@ class GanModel(ModelPlugin):
 
         def report_grads(ts, batch):
             """Per-variable D and G gradient stats (one critic + one
-            generator loss evaluation, no update) for --summarize_gradients."""
+            generator loss evaluation, no update) for --summarize_gradients.
+
+            The critic loss here is the FULL training loss — for IWGAN that
+            includes the 10*gradient-penalty term — so the reported
+            histograms describe the gradients actually applied, matching the
+            reference's summaries of the real training gradients
+            (reference: hem/ops/summaries.py:64-75)."""
             x = 2.0 * (batch["image"] - 0.5)
             rng = common.step_rng(ts)
-            rng, zk = jax.random.split(rng)
+            rng, zk, ak = jax.random.split(rng, 3)
             z = sample_z(zk, x.shape[0])
 
             def d_loss_fn(dp):
@@ -342,6 +348,19 @@ class GanModel(ModelPlugin):
                 d_fake, _ = self._d_forward(params, ts["mstate"], g,
                                             Ctx(training=True, rng=rng))
                 _, d_loss = self._losses(d_real, d_fake)
+                if model_type == "iwgan":
+                    alpha = jax.random.uniform(ak, (x.shape[0], 1))
+
+                    def d_apply(imgs):
+                        scores, _ = self._d_forward(
+                            {**ts["params"], "discriminator": dp},
+                            ts["mstate"], imgs, Ctx(training=True, rng=rng))
+                        return scores
+
+                    gp = L.gradient_penalty(
+                        d_apply, x, g, alpha,
+                        per_sample=getattr(self.args, "gp_per_sample", False))
+                    d_loss = d_loss + 10.0 * gp
                 return d_loss
 
             def g_loss_fn(gp_):

@@ -211,16 +211,28 @@ def inference(model, ts, split, args, mesh, writer, step: int, *,
         n = min(n, max_batches)
     avg = MovingAverage()
     running: dict = {}
-    # Dispatch every eval batch before fetching: one device_get for the
-    # whole split instead of one tunnel round trip per batch.
+    # Dispatch eval batches ahead of the fetch, draining every DRAIN_EVERY
+    # queued batches: each device_get costs one tunnel round trip (vs one
+    # per batch naively), while the chunk bound keeps peak HBM O(chunk) —
+    # every pending computation pins its placed input batch on device, so
+    # an unbounded queue would scale device memory with split size.
+    DRAIN_EVERY = 16
     queued = []
+
+    def drain():
+        nonlocal running
+        for losses in jax.device_get(queued):
+            running = avg.update({k: float(v) for k, v in losses.items()})
+        queued.clear()
+
     for batch in split.iter_epoch(global_batch, shuffle=False):
         queued.append(model.eval_losses(ts, place(batch)))
+        if len(queued) >= DRAIN_EVERY:
+            drain()
         n -= 1
         if n <= 0:
             break
-    for losses in jax.device_get(queued):
-        running = avg.update({k: float(v) for k, v in losses.items()})
+    drain()
     if running:
         writer.scalars({f"losses/{k}": v for k, v in running.items()}, step)
         term.message(f"{label}: " + ", ".join(f"{k}={v:.5g}"

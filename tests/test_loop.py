@@ -89,6 +89,40 @@ class TestLoop:
         assert n_freq2 == 3
         assert n_default == 4
 
+    def test_inference_chunked_drain_matches_manual_average(self, tmp_path):
+        """inference() drains the queued eval computations every DRAIN_EVERY
+        batches (bounding in-flight HBM, ADVICE r2) — the chunked average
+        must equal a naive per-batch fetch over a split LONGER than one
+        chunk."""
+        from hemx.data.pipeline import make_place
+        from hemx.summaries.events import EventsWriter
+        from hemx.train.loop import inference
+
+        # global batch 16 (bs2 x 8 devices); 288 eval images -> 18 batches,
+        # crossing the 16-batch drain boundary.
+        args = make_args(model="cnn", batch_size=2, epochs="1",
+                         dir=str(tmp_path), synthetic_count=32,
+                         synthetic_eval_count=288,
+                         synthetic_shape=[32, 32, 3])
+        mesh = make_mesh(0)
+        splits = SyntheticDataset.get_datasets(args)
+        model = get_model("cnn")(args, mesh)
+        gb = args.batch_size * mesh.size
+        host = next(splits["train"].iter_epoch(gb, shuffle=False))
+        ts = model.init_state(jax.random.PRNGKey(0), host)
+
+        w = EventsWriter(str(tmp_path / "validate"))
+        got = inference(model, ts, splits["validate"], args, mesh, w, step=1)
+        w.close()
+
+        place = make_place(mesh, splits["validate"], keys=model.batch_keys)
+        losses = [jax.device_get(model.eval_losses(ts, place(b)))
+                  for b in splits["validate"].iter_epoch(gb, shuffle=False)]
+        assert len(losses) == 18
+        want = np.mean([float(l["loss"]) for l in losses])
+        np.testing.assert_allclose(got["loss"], want, rtol=1e-6)
+        assert get_tag_values(str(tmp_path / "validate"), "losses/loss")
+
     def test_epoch_size_caps_batches(self, tmp_path):
         args, result = _train(tmp_path, epochs=1, epoch_size=2)
         series = get_tag_values(str(tmp_path / "train"), "losses/loss")

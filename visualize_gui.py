@@ -151,33 +151,41 @@ def run_html(idx: int, run_dir: str) -> str:
     return _page(os.path.basename(run_dir) or run_dir, "".join(parts))
 
 
-def render_scalar_png(run_dir: str, phase: str, tag: str) -> bytes:
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+def _chart_figure():
+    """(fig, ax) via the thread-safe OO API — request handlers run on
+    ThreadingHTTPServer worker threads, and pyplot's global state machine is
+    not thread-safe (two concurrent chart requests could cross-contaminate
+    figures)."""
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
+    fig = Figure(figsize=(8, 4.5))
+    FigureCanvasAgg(fig)  # attaches itself as fig.canvas
+    return fig, fig.add_subplot(111)
+
+
+def _fig_png(fig) -> bytes:
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", bbox_inches="tight")
+    return buf.getvalue()
+
+
+def render_scalar_png(run_dir: str, phase: str, tag: str) -> bytes:
     series = get_tag_values(os.path.join(run_dir, phase), tag)
-    fig, ax = plt.subplots(figsize=(8, 4.5))
+    fig, ax = _chart_figure()
     if series:
         ax.plot([s for s, _ in series], [v for _, v in series])
     ax.set_title(f"{os.path.basename(run_dir)} {phase}/{tag}")
     ax.set_xlabel("step")
     ax.grid(alpha=0.3)
-    buf = io.BytesIO()
-    fig.savefig(buf, format="png", bbox_inches="tight")
-    plt.close(fig)
-    return buf.getvalue()
+    return _fig_png(fig)
 
 
 def render_histogram_png(run_dir: str, phase: str, tag: str) -> bytes:
     """TensorBoard-style percentile fan (reference renderers:
     hem/util/events.py:120-205)."""
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
     steps, series = get_histogram_plot_data(os.path.join(run_dir, phase), tag)
-    fig, ax = plt.subplots(figsize=(8, 4.5))
+    fig, ax = _chart_figure()
     qs = sorted(series)
     for lo, hi in zip(qs, qs[::-1]):
         if lo >= hi:
@@ -189,10 +197,7 @@ def render_histogram_png(run_dir: str, phase: str, tag: str) -> bytes:
     ax.set_title(f"{os.path.basename(run_dir)} {phase}/{tag}")
     ax.set_xlabel("step")
     ax.grid(alpha=0.3)
-    buf = io.BytesIO()
-    fig.savefig(buf, format="png", bbox_inches="tight")
-    plt.close(fig)
-    return buf.getvalue()
+    return _fig_png(fig)
 
 
 def images_html(idx: int, run_dir: str, phase: str, tag: str,
@@ -206,6 +211,10 @@ def images_html(idx: int, run_dir: str, phase: str, tag: str,
     if not rows:
         parts.append("<p class='dim'>no image events</p>")
     return _page(f"{phase}/{tag}", "".join(parts))
+
+
+class _NotFound(Exception):
+    """Raised by handlers for bad run indices -> 404 (not 500)."""
 
 
 def serve(workspace: str, port: int) -> int:
@@ -225,8 +234,18 @@ def serve(workspace: str, port: int) -> int:
             self.end_headers()
             self.wfile.write(body)
 
+        def _run_index(self, raw) -> int:
+            """Validated run index — rejects out-of-range AND negative
+            values (raw int() indexing would silently resolve /run/-1 to
+            the last run via Python negative indexing)."""
+            i = int(raw)
+            if i not in range(len(runs)):
+                raise _NotFound(f"run {i}")
+            return i
+
         def _qs_run(self, qs) -> tuple[str, str, str]:
-            run_dir = runs[int(qs["run"][0])]  # index, not a path: no traversal
+            # index, not a path: no traversal
+            run_dir = runs[self._run_index(qs["run"][0])]
             return run_dir, qs["phase"][0], qs["tag"][0]
 
         def do_GET(self):
@@ -236,7 +255,7 @@ def serve(workspace: str, port: int) -> int:
                 if parsed.path == "/":
                     self._send(index_html(runs).encode())
                 elif parsed.path.startswith("/run/"):
-                    i = int(parsed.path.split("/")[2])
+                    i = self._run_index(parsed.path.split("/")[2])
                     self._send(run_html(i, runs[i]).encode())
                 elif parsed.path == "/chart":
                     d, p, t = self._qs_run(qs)
@@ -245,7 +264,7 @@ def serve(workspace: str, port: int) -> int:
                     d, p, t = self._qs_run(qs)
                     self._send(render_histogram_png(d, p, t), "image/png")
                 elif parsed.path == "/images":
-                    i = int(qs["run"][0])
+                    i = self._run_index(qs["run"][0])
                     self._send(images_html(i, runs[i], qs["phase"][0],
                                            qs["tag"][0]).encode())
                 elif parsed.path == "/image.png":
@@ -256,6 +275,8 @@ def serve(workspace: str, port: int) -> int:
                     self._send(png, "image/png")
                 else:
                     self._send(b"not found", "text/plain", 404)
+            except _NotFound as e:
+                self._send(f"not found: {e}".encode(), "text/plain", 404)
             except Exception as e:  # one bad request must not kill the server
                 self._send(f"error: {e}".encode(), "text/plain", 500)
 
