@@ -18,7 +18,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from hemx.summaries.reader import get_tag_values
+from hemx.summaries.reader import get_histogram_values, get_tag_values
 
 W = os.path.join(os.path.dirname(__file__), "..", "workspace", "parity")
 OUT = os.path.join(os.path.dirname(__file__), "..", "PARITY.md")
@@ -69,6 +69,60 @@ def fid_artifact() -> dict | None:
             return json.load(f)["detail"]
     except (OSError, ValueError, KeyError):
         return None
+
+
+def _hist_moments(h: dict):
+    """(mean, std) from a HistogramProto's exact sum / sum_squares."""
+    n = h.get("num") or 0
+    if not n:
+        return None, None
+    mean = h["sum"] / n
+    var = max(h["sum_squares"] / n - mean * mean, 0.0)
+    return mean, var ** 0.5
+
+
+def _hist_tvd(a: dict, b: dict) -> float | None:
+    """Total-variation distance between two bucketed histograms. Both use
+    the same TF exponential edge table, so buckets align by their limit."""
+    def masses(h):
+        total = sum(h.get("bucket", [])) or 1.0
+        return {lim: c / total for lim, c in
+                zip(h.get("bucket_limit", []), h.get("bucket", []))}
+    ma, mb = masses(a), masses(b)
+    if not ma or not mb:
+        return None
+    return 0.5 * sum(abs(ma.get(k, 0.0) - mb.get(k, 0.0))
+                     for k in set(ma) | set(mb))
+
+
+def sample_statistics(model: str, target_epochs=(10, 50, 100),
+                      calls_per_epoch: int = 32, base: str | None = None):
+    """Generated-sample statistics vs data at checkpoints through training
+    (BASELINE.md 'sample-statistics parity'), derived from the
+    examples/fakes_hist + examples/real_hist summaries write_summaries
+    records — the GAN-family step counter is one per train() call, so
+    epoch E ends at step E*calls_per_epoch (16,384 imgs / 512 batch).
+
+    Returns rows of (epoch, fake_mean, fake_std, real_mean, real_std, tvd).
+    """
+    logdir = os.path.join(base or W, model, "train")
+    fakes = get_histogram_values(logdir, "examples/fakes_hist")
+    reals = dict(get_histogram_values(logdir, "examples/real_hist"))
+    if not fakes:
+        return []
+    rows = []
+    for ep in target_epochs:
+        target = ep * calls_per_epoch
+        step, fh = min(fakes, key=lambda r: abs(r[0] - target))
+        if abs(step - target) > calls_per_epoch:  # run didn't reach epoch
+            continue
+        rh = reals.get(step)
+        fm, fs = _hist_moments(fh)
+        rm, rs = _hist_moments(rh) if rh else (None, None)
+        tvd = _hist_tvd(fh, rh) if rh else None
+        rows.append(dict(epoch=ep, step=step, fake_mean=fm, fake_std=fs,
+                         real_mean=rm, real_std=rs, tvd=tvd))
+    return rows
 
 
 def data_baselines():
@@ -204,6 +258,29 @@ def main() -> int:
             lines.append(
                 f"| trained cnn encoder | {fid['fid_encoder']} | "
                 f"{fid.get('fid_encoder_data_floor', '—')} |")
+
+    stat_rows = [(m, sample_statistics(m)) for m in ("gan", "wgan", "iwgan")]
+    if any(r for _, r in stat_rows):
+        lines += [
+            "",
+            "## Sample statistics through training (GAN family)",
+            "",
+            "Generated-sample pixel mean/std and bucketed-histogram total-",
+            "variation distance vs the real batch at the SAME summary step",
+            "(BASELINE.md 'sample-statistics parity'; derived from the",
+            "`examples/fakes_hist` / `examples/real_hist` summaries — real",
+            "rows are the data's own statistics, the convergence target):",
+            "",
+            "| model | epoch | fake mean | fake std | real mean | real std | hist TVD |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for model, rows_ in stat_rows:
+            for r in rows_:
+                f = lambda v: "—" if v is None else f"{v:.4f}"
+                lines.append(
+                    f"| {model} | {r['epoch']} | {f(r['fake_mean'])} | "
+                    f"{f(r['fake_std'])} | {f(r['real_mean'])} | "
+                    f"{f(r['real_std'])} | {f(r['tvd'])} |")
 
     lines += [
         "",

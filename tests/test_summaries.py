@@ -317,3 +317,46 @@ class TestWebGui:
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
         png = gui.render_histogram_png(run_dir, "train", "acts/h")
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+class TestSampleStatistics:
+    def test_report_rows_from_histograms(self, tmp_path):
+        """parity_report.sample_statistics derives fake/real pixel mean, std
+        and histogram TVD at epoch boundaries from the fakes_hist/real_hist
+        summaries (BASELINE.md 'sample-statistics parity')."""
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "parity_report", os.path.join(
+                os.path.dirname(__file__), "..", "scripts", "parity_report.py"))
+        pr = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(pr)
+
+        rng = np.random.default_rng(0)
+        real = rng.uniform(0.2, 0.8, size=20000).astype(np.float32)
+        run = tmp_path / "iwgan" / "train"
+        w = EventsWriter(str(run))
+        for ep in (10, 50, 100):
+            step = ep * 32
+            # fakes start broad, converge toward the real distribution
+            spread = {10: 1.0, 50: 0.5, 100: 0.02}[ep]
+            fake = np.clip(real + rng.normal(0, spread, real.shape), 0, 1)
+            w.histogram("examples/fakes_hist", fake.astype(np.float32), step)
+            w.histogram("examples/real_hist", real, step)
+        w.close()
+
+        rows = pr.sample_statistics("iwgan", base=str(tmp_path))
+        assert [r["epoch"] for r in rows] == [10, 50, 100]
+        for r in rows:
+            np.testing.assert_allclose(r["real_mean"], real.mean(), rtol=1e-5)
+            np.testing.assert_allclose(r["real_std"], real.std(), rtol=1e-4)
+            assert 0.0 <= r["tvd"] <= 1.0
+        # convergence is visible: TVD shrinks monotonically toward 0
+        tvds = [r["tvd"] for r in rows]
+        assert tvds[0] > tvds[1] > tvds[2]
+        assert tvds[2] < 0.2
+        # a run that never reached epoch 50 yields only the epochs it hit
+        short = pr.sample_statistics("iwgan", target_epochs=(10, 50, 200),
+                                     base=str(tmp_path))
+        assert [r["epoch"] for r in short] == [10, 50]
+        # absent run -> no rows
+        assert pr.sample_statistics("missing", base=str(tmp_path)) == []
