@@ -360,3 +360,67 @@ class TestSampleStatistics:
         assert [r["epoch"] for r in short] == [10, 50]
         # absent run -> no rows
         assert pr.sample_statistics("missing", base=str(tmp_path)) == []
+
+
+class TestWebGuiServer:
+    """In-process drive of the --serve HTTP app (cross-process loopback is
+    blocked in this sandbox, so client and server share the process)."""
+
+    @pytest.fixture(scope="class")
+    def server(self, tmp_path_factory):
+        import threading
+        import visualize_gui as gui
+
+        ws = tmp_path_factory.mktemp("guiws")
+        run = ws / "myrun"
+        (run / "options.config").parent.mkdir(parents=True, exist_ok=True)
+        (run / "options.config").write_text("model cnn\n")
+        w = EventsWriter(str(run / "train"))
+        w.scalar("losses/loss", 0.5, 1)
+        w.scalar("losses/loss", 0.25, 2)
+        w.histogram("acts/h", np.random.default_rng(0).normal(size=512), 2)
+        w.close()
+        port = 6123
+        t = threading.Thread(target=gui.serve, args=(str(ws), port),
+                             daemon=True)
+        t.start()
+        import time
+        time.sleep(1.0)
+        return port
+
+    def _get(self, port, path):
+        import urllib.request, urllib.error
+        try:
+            r = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=30)
+            return r.status, r.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    def test_routing_and_404s(self, server):
+        code, body = self._get(server, "/")
+        assert code == 200 and b"/run/0" in body
+        code, body = self._get(server, "/run/0")
+        assert code == 200 and b"losses/loss" in body
+        # negative and out-of-range indices must 404, not resolve or 500
+        assert self._get(server, "/run/-1")[0] == 404
+        assert self._get(server, "/run/99")[0] == 404
+        assert self._get(server, "/chart?run=-1&phase=train&tag=x")[0] == 404
+        assert self._get(server, "/nope")[0] == 404
+
+    def test_concurrent_chart_renders(self, server):
+        """Chart endpoints render via the OO matplotlib API; concurrent
+        requests from server worker threads must all yield valid PNGs."""
+        import threading
+        out = []
+        path = "/chart?run=0&phase=train&tag=losses%2Floss"
+        hpath = "/hist?run=0&phase=train&tag=acts%2Fh"
+        def hit(p):
+            out.append(self._get(server, p))
+        ts = [threading.Thread(target=hit, args=(p,))
+              for p in [path, hpath] * 3]
+        [t.start() for t in ts]; [t.join() for t in ts]
+        assert len(out) == 6
+        for code, body in out:
+            assert code == 200
+            assert body[:8] == b"\x89PNG\r\n\x1a\n"
