@@ -14,7 +14,9 @@ Modes:
                                   #   parse -> cache -> shuffle -> uint8 H2D ->
                                   #   on-chip u8_normalize -> train step; reports
                                   #   steady img/s AND the first-epoch cache-fill
-                                  #   penalty (reference: doc/guide.tex:130-137)
+                                  #   penalty (reference: doc/guide.tex:130-137).
+                                  #   --model cnn swaps in the CNN AE — the
+                                  #   workload of the reference transcript
   python bench.py --fid --dir D   # FID of a trained GAN run at D (pixel
                                   #   extractor; --fid_encoder_dir adds a
                                   #   trained-encoder extractor) vs its dataset
@@ -33,6 +35,10 @@ import numpy as np
 # Reference IWGAN: 36,904 train() calls, each running 5 critic + 1 generator
 # update on a 512 global batch, in 37,246 s => train-calls/sec * batch:
 REF_IWGAN_IMG_PER_SEC = 36904 * 512 / 37246.0  # ≈ 507.3 images/sec (2 GPUs)
+# Reference CNN AE steady-state epoch throughput: 3.69 batch/s at global
+# batch 1024 (doc/guide.tex:130-137) — the same transcript the first-epoch
+# penalty comes from, so `--e2e --model cnn` compares 1:1 with it.
+REF_CNN_IMG_PER_SEC = 3.69 * 1024  # ≈ 3,778 images/sec (2 GPUs)
 # Reference first-epoch decode+cache penalty: 9:28 vs 0:49 steady
 # (doc/guide.tex:130-137) => 11.6x
 REF_FIRST_EPOCH_PENALTY = (9 * 60 + 28) / 49.0
@@ -57,6 +63,18 @@ def _iwgan(args, mesh):
                       fused_critic_loop=not args.no_fused,
                       synthetic_shape=[args.image, args.image, 3])
     return get_model("iwgan")(margs, mesh), margs
+
+
+def _cnn(args, mesh):
+    """CNN autoencoder at the reference transcript's hyperparameters
+    (doc/guide.tex:96-137: rmsprop 1e-4) for the 1:1 pipeline comparison."""
+    from hemx.config import default_args as make_args
+    from hemx.models.plugin import get_model
+
+    margs = make_args(model="cnn", batch_size=args.batch // mesh.devices.size,
+                      optimizer="rmsprop", lr=1e-4,
+                      synthetic_shape=[args.image, args.image, 3])
+    return get_model("cnn")(margs, mesh), margs
 
 
 def run_compute(args) -> dict:
@@ -153,7 +171,12 @@ def run_e2e(args) -> dict:
 
     mesh = make_mesh(0)
     n_chips = mesh.devices.size
-    model, margs = _iwgan(args, mesh)
+    if args.model == "cnn":
+        model, margs = _cnn(args, mesh)
+        batches_per_call, ref_img_s = 1, REF_CNN_IMG_PER_SEC
+    else:
+        model, margs = _iwgan(args, mesh)
+        batches_per_call, ref_img_s = 6, REF_IWGAN_IMG_PER_SEC  # 5 critic + G
 
     rec_path = os.path.join(
         args.cache, f"bench_synth_{args.e2e_count}x{args.image}.tfrecords")
@@ -185,7 +208,7 @@ def run_e2e(args) -> dict:
             e += 1
 
     s = stream()
-    calls_per_epoch = (args.e2e_count // args.batch) // 6  # 5 critic + 1 G
+    calls_per_epoch = (args.e2e_count // args.batch) // batches_per_call
 
     def one_epoch():
         t0 = time.perf_counter()
@@ -211,11 +234,13 @@ def run_e2e(args) -> dict:
     steady = float(np.median(epochs))
     img_s = calls_per_epoch * args.batch / steady
     result = {
-        "metric": "IWGAN end-to-end images/sec/chip (TFRecord+uint8 pipeline)",
+        "metric": f"{args.model.upper()} end-to-end images/sec/chip "
+                  "(TFRecord+uint8 pipeline)",
         "value": round(img_s / n_chips, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(img_s / n_chips / REF_IWGAN_IMG_PER_SEC, 3),
+        "vs_baseline": round(img_s / n_chips / ref_img_s, 3),
         "detail": {
+            "reference_images_per_sec_2gpu": round(ref_img_s, 2),
             "first_epoch_s": round(first, 3),
             "steady_epoch_s": round(steady, 3),
             "steady_epochs_all_s": [round(e, 3) for e in epochs],
@@ -338,6 +363,10 @@ def main() -> None:
     parser.add_argument("--e2e", action="store_true",
                         help="Benchmark the full TFRecord+uint8 input "
                              "pipeline, incl. first-epoch cache fill.")
+    parser.add_argument("--model", default="iwgan", choices=["iwgan", "cnn"],
+                        help="--e2e workload: iwgan (headline) or cnn (the "
+                             "reference's guide.tex pipeline transcript is a "
+                             "CNN AE run — 1:1 comparison).")
     parser.add_argument("--e2e_count", type=int, default=18432,
                         help="Records in the synthetic TFRecord file.")
     parser.add_argument("--e2e_epochs", type=int, default=4)

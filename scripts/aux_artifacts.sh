@@ -19,6 +19,10 @@ python bench.py --fid --dir workspace/parity/iwgan \
 echo "=== e2e bench: $(date)"
 python bench.py --e2e > "$A/e2e.json" 2> "$A/e2e.log" || echo "e2e failed"
 
+echo "=== e2e bench (cnn, the reference transcript's workload): $(date)"
+python bench.py --e2e --model cnn > "$A/e2e_cnn.json" 2> "$A/e2e_cnn.log" \
+    || echo "e2e cnn failed"
+
 echo "=== compute bench: $(date)"
 python bench.py > "$A/compute.json" 2> "$A/compute.log" || echo "bench failed"
 

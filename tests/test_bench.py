@@ -47,3 +47,39 @@ class TestAttachArtifacts:
         bench._attach_artifacts(result)
         assert "fid" not in result.get("detail", {})
         assert "e2e" not in result.get("detail", {})
+
+
+class TestRunE2E:
+    """Drive the full --e2e path (TFRecord write -> parse -> uint8 H2D ->
+    on-chip normalize -> train step -> epoch timing) on the 8-device CPU
+    mesh at tiny sizes, for both workloads."""
+
+    def _args(self, tmp_path, model):
+        import types
+        return types.SimpleNamespace(
+            batch=16, image=32, latent=16, steps=2, warmup=1, no_fused=False,
+            e2e_count=96, e2e_epochs=3, cache=str(tmp_path), model=model)
+
+    def _check(self, result, model, expect_ref):
+        assert result["unit"] == "images/sec/chip"
+        assert model.upper() in result["metric"]
+        d = result["detail"]
+        assert d["steady_statistic"] == "median"
+        assert len(d["steady_epochs_all_s"]) == 2
+        assert d["first_epoch_s"] > 0 and d["steady_epoch_s"] > 0
+        assert d["reference_images_per_sec_2gpu"] == round(expect_ref, 2)
+        # non-default --batch/--image: ratio must be flagged not reported
+        assert result["vs_baseline"] is None
+        assert "not comparable" in result["vs_baseline_note"]
+
+    def test_cnn_pipeline(self, tmp_path):
+        args = self._args(tmp_path, "cnn")
+        result = bench.run_e2e(args)
+        assert result["detail"]["calls_per_epoch"] == 6  # 96/16 batches
+        self._check(result, "cnn", bench.REF_CNN_IMG_PER_SEC)
+
+    def test_iwgan_pipeline(self, tmp_path):
+        args = self._args(tmp_path, "iwgan")
+        result = bench.run_e2e(args)
+        assert result["detail"]["calls_per_epoch"] == 1  # 6 batches/call
+        self._check(result, "iwgan", bench.REF_IWGAN_IMG_PER_SEC)
