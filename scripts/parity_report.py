@@ -50,14 +50,25 @@ def fmt(v):
     return f"{v:.4g}"
 
 
-def elapsed_seconds(model):
+def elapsed_seconds(model, total_epochs: int = 100):
+    """(seconds, estimated: bool). A resumed run's log only covers the
+    epochs after the restore (campaign restarts truncate the log), so when
+    the log shows 'Resumed from ... (epoch N)' the wall-clock is
+    extrapolated to the full run: elapsed * total / (total - N)."""
     log = os.path.join(W, f"{model}.log")
     if not os.path.exists(log):
-        return None
+        return None, False
     txt = open(log, errors="replace").read()
     import re
     m = re.findall(r"Elapsed time: (\d+)s", txt)
-    return sum(int(x) for x in m) if m else None
+    if not m:
+        return None, False
+    secs = sum(int(x) for x in m)
+    resumed = re.findall(r"Resumed from .* \(epoch (\d+)\)", txt)
+    start = min((int(e) for e in resumed), default=0)
+    if start > 0:
+        return int(secs * total_epochs / (total_epochs - start)), True
+    return secs, False
 
 
 def fid_artifact() -> dict | None:
@@ -149,7 +160,8 @@ def main() -> int:
             rows.append((model, None))
             continue
         tags = LOSS_TAGS[model]
-        info = {"elapsed_s": elapsed_seconds(model)}
+        el, el_est = elapsed_seconds(model)
+        info = {"elapsed_s": el, "elapsed_estimated": el_est}
         for t in tags:
             tr = series(model, t)
             va = series(model, t, "validate")
@@ -188,6 +200,9 @@ def main() -> int:
         "",
         "## Anchor rows",
         "",
+        "(`~` marks wall-clock extrapolated to 100 epochs for a run that",
+        "resumed mid-campaign — the log only times the post-resume epochs.)",
+        "",
         "| model | reference (2 GPUs, floorplans, 100 ep) | hemx (1×v5e, synthetic, 100 ep) | hemx elapsed / ref elapsed |",
         "|---|---|---|---|",
     ]
@@ -202,7 +217,9 @@ def main() -> int:
             if t in info:
                 parts.append(f"{t} {fmt(info[t]['last'])}")
         el = info.get("elapsed_s")
-        speed = f"{el:,} s / {ref['secs']:,} s = {el/ref['secs']:.2f}x" if el else "—"
+        approx = "~" if info.get("elapsed_estimated") else ""
+        speed = (f"{approx}{el:,} s / {ref['secs']:,} s = "
+                 f"{approx}{el/ref['secs']:.2f}x" if el else "—")
         lines.append(f"| {model} | {ref['final']}; {ref['secs']:,} s "
                      f"({ref['steps']:,} steps) | {'; '.join(parts)} | {speed} |")
 
