@@ -401,7 +401,8 @@ def _attach_artifacts(result: dict) -> None:
     by scripts/aux_artifacts.sh) into the headline JSON's detail, so the
     one-line record carries quality alongside throughput."""
     root = os.path.dirname(os.path.abspath(__file__))
-    for name, key in (("fid.json", "fid"), ("e2e.json", "e2e")):
+    for name, key in (("fid.json", "fid"), ("e2e.json", "e2e"),
+                      ("e2e_cnn.json", "e2e_cnn")):
         path = os.path.join(root, "workspace", "artifacts", name)
         try:
             with open(path) as f:
