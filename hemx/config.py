@@ -135,6 +135,16 @@ def build_base_parser() -> CustomArgumentParser:
     data.add_argument("--raw_dataset_dir", default="/tmp")
     data.add_argument("--dataset_dir", default="datasets")
     data.add_argument("--n_threads", type=int, default=os.cpu_count() or 1)
+    data.add_argument("--device_data_cache",
+                      action=argparse.BooleanOptionalAction, default=True,
+                      help="Keep the whole compact dataset in device memory "
+                           "and assemble batches on-chip (jitted gather + "
+                           "normalize) when it fits --device_cache_mb: no "
+                           "per-step H2D. Splits that don't qualify "
+                           "(host-side augmentation, multi-process, too "
+                           "large) stream via the host pipeline as before.")
+    data.add_argument("--device_cache_mb", type=int, default=1024,
+                      help="HBM budget for --device_data_cache, per split.")
     return parser
 
 

@@ -116,8 +116,12 @@ class Split:
     def batches_per_epoch(self, global_batch: int) -> int:
         return self.count // global_batch
 
-    def iter_epoch(self, global_batch: int, *, shuffle: bool = True,
-                   seed: int = 0, epoch: int = 0) -> Iterator[dict]:
+    def iter_epoch_indices(self, global_batch: int, *, shuffle: bool = True,
+                           seed: int = 0,
+                           epoch: int = 0) -> Iterator[np.ndarray]:
+        """The epoch's batch index slices (the shuffle half of iter_epoch).
+        Device-resident feeding (DeviceDataPipeline) consumes these directly
+        so only ~KB of indices cross the host->device link per batch."""
         n = self.count
         nb = n // global_batch
         if shuffle:
@@ -126,7 +130,12 @@ class Split:
         else:
             order = np.arange(n)
         for b in range(nb):
-            idx = order[b * global_batch:(b + 1) * global_batch]
+            yield order[b * global_batch:(b + 1) * global_batch]
+
+    def iter_epoch(self, global_batch: int, *, shuffle: bool = True,
+                   seed: int = 0, epoch: int = 0) -> Iterator[dict]:
+        for b, idx in enumerate(self.iter_epoch_indices(
+                global_batch, shuffle=shuffle, seed=seed, epoch=epoch)):
             batch = self.source.batch(idx)
             if self.batch_transform is not None:
                 if self.transform_needs_rng:
@@ -189,6 +198,122 @@ def make_place(mesh, split=None, keys=None):
     """
     transfer, transform = make_place_stages(mesh, split, keys)
     return lambda b: transform(transfer(b))
+
+
+class DeviceDataPipeline:
+    """Device-resident dataset feeding: the whole (compact, e.g. uint8)
+    dataset is placed in device memory ONCE and batches are assembled
+    on-device by a jitted gather + device_transform, so per-batch traffic
+    over the host->device link is a ~KB index slice instead of megabytes
+    of image data.
+
+    Why this exists (both reasons measured):
+
+    * TPU-native perf: batch assembly + normalization happen on-chip with
+      zero per-step H2D; the input pipeline can never become the
+      bottleneck for datasets that fit the budget (the reference kept its
+      post-map cache in HOST RAM and shipped float batches every step —
+      data.py:34-60).
+    * This environment's PJRT runtime leaks host staging memory on EVERY
+      host->device transfer (~the transfer's size per call, measured
+      linear: 6.29 MB uint8 batch -> 6.14 MB RSS growth per device_put,
+      all transfer APIs affected). A 100-epoch WGAN/IWGAN run streams
+      ~19k batches = ~120 GB of leaked host RSS -> host OOM. With
+      device-resident data the leak is bounded by one dataset transfer
+      plus KB-scale index slices.
+
+    Eligibility (see :meth:`maybe`): single process, in-memory source
+    (ArraySource or materialized TFRecordSource), no host-side
+    batch_transform, total bytes within budget. The placed arrays are
+    memoized on the Split so train + per-epoch validation reuse one copy.
+    """
+
+    def __init__(self, split: Split, global_batch: int, *, mesh,
+                 keys=None, shuffle: bool = True, seed: int = 0):
+        import jax
+        from hemx.parallel.mesh import data_sharding, replicated_sharding
+
+        self.split = split
+        self.global_batch = global_batch
+        self.shuffle = shuffle
+        self.seed = seed
+        self._data = data_sharding(mesh)
+        repl = replicated_sharding(mesh)
+
+        arrays = self._source_arrays(split)
+        use = {k: v for k, v in arrays.items() if not keys or k in keys}
+        cache_key = (tuple(sorted(use)), id(mesh))
+        memo = getattr(split, "_device_arrays", None)
+        if memo is None:
+            memo = split._device_arrays = {}
+        if cache_key not in memo:
+            memo[cache_key] = {k: jax.device_put(v, repl)
+                               for k, v in use.items()}
+        self.ds = memo[cache_key]
+
+        dt = split.device_transform
+
+        def assemble(ds, idx):
+            import jax.numpy as jnp
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in ds.items()}
+            return dt(batch) if dt is not None else batch
+
+        self._assemble = jax.jit(assemble, in_shardings=(repl, self._data),
+                                 out_shardings=self._data)
+        self._place_idx = lambda idx: jax.device_put(
+            np.asarray(idx, np.int32), self._data)
+
+    @staticmethod
+    def _source_arrays(split: Split):
+        src = split.source
+        if isinstance(src, ArraySource):
+            return src.arrays
+        if isinstance(src, TFRecordSource):
+            return src._materialize().arrays
+        raise TypeError(f"no in-memory arrays for {type(src).__name__}")
+
+    @classmethod
+    def maybe(cls, split: Split, global_batch: int, *, mesh, keys=None,
+              shuffle: bool = True, seed: int = 0,
+              budget_mb: int = 1024):
+        """The pipeline if the split qualifies, else None (caller falls
+        back to the host-streaming Pipeline). Instances are memoized on the
+        split so repeated callers (per-epoch validation) reuse one jitted
+        assemble program instead of recompiling."""
+        import jax
+        if jax.process_count() > 1:
+            return None
+        if split.batch_transform is not None:
+            return None
+        memo_key = (global_batch, tuple(sorted(keys or ())), shuffle, seed,
+                    id(mesh))
+        memo = getattr(split, "_device_pipelines", None)
+        if memo is None:
+            memo = split._device_pipelines = {}
+        if memo_key in memo:
+            return memo[memo_key]
+        try:
+            arrays = cls._source_arrays(split)
+        except TypeError:
+            return None
+        use = {k: v for k, v in arrays.items() if not keys or k in keys}
+        if not use:
+            return None
+        if sum(v.nbytes for v in use.values()) > budget_mb * 1024 * 1024:
+            return None
+        memo[memo_key] = cls(split, global_batch, mesh=mesh, keys=keys,
+                             shuffle=shuffle, seed=seed)
+        return memo[memo_key]
+
+    def epoch(self, epoch: int) -> Iterator[dict]:
+        """Device batches for one epoch — same seeded order as the host
+        Pipeline. All XLA dispatch happens on the caller's thread (the
+        single-thread enqueue discipline of make_place_stages holds by
+        construction: there is no producer thread)."""
+        for idx in self.split.iter_epoch_indices(
+                self.global_batch, shuffle=self.shuffle, seed=self.seed,
+                epoch=epoch):
+            yield self._assemble(self.ds, self._place_idx(idx))
 
 
 class Pipeline:

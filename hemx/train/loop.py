@@ -29,7 +29,8 @@ import numpy as np
 
 from hemx.config import init_working_dir
 from hemx.models import common
-from hemx.data.pipeline import Pipeline, make_place, make_place_stages
+from hemx.data.pipeline import (DeviceDataPipeline, Pipeline, make_place,
+                                make_place_stages)
 from hemx.summaries.events import SummaryWriterSet
 from hemx.train.checkpoint import CheckpointManager
 from hemx.utils import terminal as term
@@ -66,8 +67,18 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
         raise ValueError(f"dataset ({train_split.count}) smaller than one "
                          f"global batch ({global_batch})")
 
-    pipeline = Pipeline(train_split, global_batch, shuffle=args.shuffle,
-                        seed=args.seed, place=transfer, post=transform)
+    pipeline = None
+    if getattr(args, "device_data_cache", True):
+        pipeline = DeviceDataPipeline.maybe(
+            train_split, global_batch, mesh=mesh, keys=model.batch_keys,
+            shuffle=args.shuffle, seed=args.seed,
+            budget_mb=getattr(args, "device_cache_mb", 1024))
+    if pipeline is not None:
+        term.message("Input: device-resident dataset cache "
+                     "(on-chip batch gather, no per-step H2D)")
+    else:
+        pipeline = Pipeline(train_split, global_batch, shuffle=args.shuffle,
+                            seed=args.seed, place=transfer, post=transform)
 
     # shapes + init
     host_batch = next(train_split.iter_epoch(global_batch, shuffle=False))
@@ -205,7 +216,18 @@ def inference(model, ts, split, args, mesh, writer, step: int, *,
     """Average eval losses over a split and write one summary
     (reference: hem/util/misc.py:85-93)."""
     global_batch = args.batch_size * mesh.size
-    place = make_place(mesh, split, keys=getattr(model, "batch_keys", None))
+    keys = getattr(model, "batch_keys", None)
+    feeder = None
+    if getattr(args, "device_data_cache", True):
+        feeder = DeviceDataPipeline.maybe(
+            split, global_batch, mesh=mesh, keys=keys, shuffle=False,
+            seed=0, budget_mb=getattr(args, "device_cache_mb", 1024))
+    if feeder is not None:
+        batch_iter = feeder.epoch(0)
+    else:
+        place = make_place(mesh, split, keys=keys)
+        batch_iter = (place(b) for b in
+                      split.iter_epoch(global_batch, shuffle=False))
     n = split.batches_per_epoch(global_batch)
     if max_batches:
         n = min(n, max_batches)
@@ -225,8 +247,8 @@ def inference(model, ts, split, args, mesh, writer, step: int, *,
             running = avg.update({k: float(v) for k, v in losses.items()})
         queued.clear()
 
-    for batch in split.iter_epoch(global_batch, shuffle=False):
-        queued.append(model.eval_losses(ts, place(batch)))
+    for batch in batch_iter:
+        queued.append(model.eval_losses(ts, batch))
         if len(queued) >= DRAIN_EVERY:
             drain()
         n -= 1

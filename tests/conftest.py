@@ -37,6 +37,7 @@ def make_args(**overrides):
         latent_size=16, n_disc_train=2, vae_parity_loss=False,
         synthetic_count=64, synthetic_shape=[32, 32, 3],
         synthetic_eval_count=0, synthetic_u8=False,
+        device_data_cache=True, device_cache_mb=1024,
     )
     base.update(overrides)
     return types.SimpleNamespace(**base)

@@ -324,3 +324,88 @@ class TestFid:
         fid_near = fid_from_images(real, near)
         fid_far = fid_from_images(real, far)
         assert fid_near < fid_far
+
+
+class TestDeviceDataPipeline:
+    """Device-resident dataset feeding (hemx.data.pipeline.DeviceDataPipeline):
+    batches assembled on-device from one placed copy of the dataset must
+    equal the host-streaming Pipeline exactly, and training through either
+    path must produce identical params."""
+
+    def _split(self, u8=True, count=96):
+        from hemx.data.synthetic import SyntheticDataset
+        args = make_args(synthetic_count=count, synthetic_u8=u8,
+                         synthetic_shape=[32, 32, 3], batch_size=2)
+        return SyntheticDataset.get_datasets(args)["train"], args
+
+    def test_batches_match_host_pipeline(self):
+        import jax
+        from hemx.data.pipeline import (DeviceDataPipeline, Pipeline,
+                                        make_place_stages)
+        from hemx.parallel.mesh import make_mesh
+
+        split, args = self._split()
+        mesh = make_mesh(0)
+        gb = 16
+        dev = DeviceDataPipeline.maybe(split, gb, mesh=mesh, keys=("image",),
+                                       shuffle=True, seed=3)
+        assert dev is not None
+        transfer, transform = make_place_stages(mesh, split, keys=("image",))
+        host = Pipeline(split, gb, shuffle=True, seed=3, place=transfer,
+                        post=transform)
+        for e in range(2):
+            got = [np.asarray(jax.device_get(b["image"]))
+                   for b in dev.epoch(e)]
+            want = [np.asarray(jax.device_get(b["image"]))
+                    for b in host.epoch(e)]
+            assert len(got) == len(want) == 96 // 16
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(g, w)
+
+    def test_train_equality_and_validation(self, tmp_path):
+        """Full loop.train: device-resident feeding must produce the same
+        params as the host pipeline (same seed), and validation must run
+        through the on-device eval path."""
+        import jax
+        import hemx
+        from hemx.models.plugin import get_model
+        from hemx.parallel.mesh import make_mesh
+        from hemx.data.synthetic import SyntheticDataset
+
+        results = {}
+        for mode in (True, False):
+            args = make_args(model="cnn", batch_size=2, epochs="2",
+                             dir=str(tmp_path / f"cache_{mode}"), seed=5,
+                             synthetic_count=64, synthetic_eval_count=32,
+                             synthetic_u8=True, synthetic_shape=[32, 32, 3],
+                             device_data_cache=mode)
+            mesh = make_mesh(0)
+            splits = SyntheticDataset.get_datasets(args)
+            model = get_model("cnn")(args, mesh)
+            results[mode] = hemx.train(model, splits, args, mesh)
+        a = jax.tree_util.tree_leaves(results[True]["train_state"]["params"])
+        b = jax.tree_util.tree_leaves(results[False]["train_state"]["params"])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(jax.device_get(x)),
+                                       np.asarray(jax.device_get(y)),
+                                       rtol=1e-6, atol=1e-7)
+        from hemx.summaries.reader import get_tag_values
+        assert get_tag_values(str(tmp_path / "cache_True" / "validate"),
+                              "losses/loss")
+
+    def test_eligibility_gating(self):
+        from hemx.data.pipeline import DeviceDataPipeline, Split, ArraySource
+        from hemx.parallel.mesh import make_mesh
+
+        mesh = make_mesh(0)
+        src = ArraySource({"image": np.zeros((64, 8, 8, 3), np.uint8)})
+        # host-side augmentation -> ineligible
+        s = Split(src, batch_transform=lambda b: b)
+        assert DeviceDataPipeline.maybe(s, 16, mesh=mesh) is None
+        # over budget -> ineligible
+        s2 = Split(src)
+        assert DeviceDataPipeline.maybe(s2, 16, mesh=mesh, budget_mb=0) is None
+        # eligible + memoized (one instance for repeated callers)
+        p1 = DeviceDataPipeline.maybe(s2, 16, mesh=mesh, keys=("image",))
+        p2 = DeviceDataPipeline.maybe(s2, 16, mesh=mesh, keys=("image",))
+        assert p1 is not None and p1 is p2
