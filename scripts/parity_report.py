@@ -50,25 +50,24 @@ def fmt(v):
     return f"{v:.4g}"
 
 
-def elapsed_seconds(model, total_epochs: int = 100):
-    """(seconds, estimated: bool). A resumed run's log only covers the
-    epochs after the restore (campaign restarts truncate the log), so when
-    the log shows 'Resumed from ... (epoch N)' the wall-clock is
-    extrapolated to the full run: elapsed * total / (total - N)."""
-    log = os.path.join(W, f"{model}.log")
-    if not os.path.exists(log):
+def elapsed_seconds(model, max_gap: float = 600.0):
+    """(seconds, had_pauses: bool): actual training wall-clock measured as
+    the sum of consecutive event wall-time deltas across ALL the run's
+    tfevents files, dropping pauses longer than ``max_gap`` (crash-restart
+    recompiles, between-session idle). This survives campaign restarts,
+    which truncate the text log (the naive 'Elapsed time:' line then only
+    covers the final attempt)."""
+    from hemx.summaries.reader import get_all_events
+    times: list[float] = []
+    for phase in ("train", "validate"):
+        for rows in get_all_events(os.path.join(W, model, phase)).values():
+            times.extend(w for w, _, _ in rows)
+    if len(times) < 2:
         return None, False
-    txt = open(log, errors="replace").read()
-    import re
-    m = re.findall(r"Elapsed time: (\d+)s", txt)
-    if not m:
-        return None, False
-    secs = sum(int(x) for x in m)
-    resumed = re.findall(r"Resumed from .* \(epoch (\d+)\)", txt)
-    start = min((int(e) for e in resumed), default=0)
-    if start > 0:
-        return int(secs * total_epochs / (total_epochs - start)), True
-    return secs, False
+    times = sorted(set(times))
+    deltas = np.diff(times)
+    total = float(deltas[deltas < max_gap].sum())
+    return int(total), bool((deltas >= max_gap).any())
 
 
 def fid_artifact() -> dict | None:
@@ -200,8 +199,9 @@ def main() -> int:
         "",
         "## Anchor rows",
         "",
-        "(`~` marks wall-clock extrapolated to 100 epochs for a run that",
-        "resumed mid-campaign — the log only times the post-resume epochs.)",
+        "(hemx elapsed = summed wall-time of the run's training events;",
+        "`~` marks a run with crash-restart/resume pauses dropped from the",
+        "sum — its active training time, excluding idle gaps.)",
         "",
         "| model | reference (2 GPUs, floorplans, 100 ep) | hemx (1×v5e, synthetic, 100 ep) | hemx elapsed / ref elapsed |",
         "|---|---|---|---|",
