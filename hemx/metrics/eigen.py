@@ -27,8 +27,10 @@ def eigen_metrics(y, y_hat, eps: float = 1e-8) -> dict:
     abs_rel_diff = jnp.mean(jnp.abs(y - y_hat) / y_hat)
     squared_rel_diff = jnp.mean((y - y_hat) ** 2 / y_hat)
     d = jnp.log(y + eps) - jnp.log(y_hat + eps)
-    n = d.size
-    scale_invariant_log_rmse = jnp.mean(d ** 2) - (jnp.sum(d) ** 2) / (n ** 2)
+    # mean(d)^2, NOT sum(d)^2 / n^2: algebraically identical, but n**2 as a
+    # Python int overflows the default int32 jit-argument dtype once the
+    # batch exceeds ~55k pixels (n=1.7M at the paper_metrics eval size).
+    scale_invariant_log_rmse = jnp.mean(d ** 2) - jnp.mean(d) ** 2
     delta = jnp.maximum(y / y_hat, y_hat / y)
     return {
         "linear_rmse": linear_rmse,

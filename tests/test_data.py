@@ -285,6 +285,23 @@ class TestEigenMetrics:
         # delta = 2 > 1.25^2 -> t1=t2=0; 1.25^3 = 1.953 < 2 -> t3=0
         assert m["t1"] == 0.0 and m["t2"] == 0.0 and m["t3"] == 0.0
 
+    def test_large_batch_no_int_overflow(self):
+        """scale_invariant_log_rmse at production eval size (1.7M pixels):
+        the old sum(d)^2/n^2 form passed a Python int n^2 > int32 max into
+        jit and crashed paper_metrics (round-3 aux run); mean(d)^2 is
+        identical algebra without the huge constant."""
+        from hemx.metrics.eigen import eigen_metrics
+        rng = np.random.default_rng(1)
+        y = rng.uniform(0.5, 5.0, (8 * 256, 29, 29, 1)).astype(np.float32)
+        y_hat = y * rng.uniform(0.8, 1.2, y.shape).astype(np.float32)
+        m = {k: float(v) for k, v in eigen_metrics(y, y_hat).items()}
+        assert np.isfinite(m["scale_invariant_log_rmse"])
+        # spot-check against the numpy formula
+        eps = 1e-8
+        d = np.log(y + eps) - np.log(y_hat + eps)
+        want = float(np.mean(d ** 2) - np.mean(d) ** 2)
+        assert m["scale_invariant_log_rmse"] == pytest.approx(want, rel=1e-3)
+
     def test_accumulator_skips_nan(self):
         from hemx.metrics.eigen import EigenAccumulator
         acc = EigenAccumulator()
