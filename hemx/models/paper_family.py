@@ -323,6 +323,13 @@ class PaperStandalone(ModelPlugin):
     def _loss(self, y, y_hat):
         return rmse(y / 10.0, y_hat / 10.0)
 
+    def depth_range(self):
+        """G outputs are METERS [0,10] (paper_prepare scales depth x10) —
+        without this, paper_fullimage's dataset-unit fallback (0,1) would
+        compare meter-scale reconstructions against [0,1] ground truth
+        (measured: scene rmse 4.7 instead of ~0.05)."""
+        return (0.0, 10.0)
+
     def _compile(self):
         check = self.args.check_numerics
 

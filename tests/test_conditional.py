@@ -238,6 +238,18 @@ class TestPaperFamily:
         assert np.isfinite(float(jax.device_get(m["rmse"])))
 
 
+class TestDepthRanges:
+    def test_paper_models_declare_meter_outputs(self):
+        """Every paper-family model whose prepare() scales depth x10 must
+        declare depth_range (0,10) so paper_fullimage maps reconstructions
+        back to dataset units (regression: paper_standalone lacked it and
+        scene rmse read 4.7 instead of ~0.05)."""
+        for name in ("paper_sampler", "paper_noise", "paper_baseline_sampler",
+                     "paper_standalone", "paper_baseline_standalone"):
+            cls = get_model(name)
+            assert cls.depth_range(cls.__new__(cls)) == (0.0, 10.0), name
+
+
 class TestArtist:
     def test_train_and_losses(self):
         args, mesh, model, ts, batch = _setup(
