@@ -193,10 +193,16 @@ def run_e2e(args) -> dict:
 
     split = Split(TFRecordSource([rec_path], parse), name="train",
                   device_transform=u8_image_device_transform())
-    transfer, transform = make_place_stages(mesh, split,
-                                            keys=model.batch_keys)
-    pipeline = Pipeline(split, args.batch, seed=0, place=transfer,
-                        post=transform)
+    if args.device_cache:
+        from hemx.data.pipeline import DeviceDataPipeline
+        pipeline = DeviceDataPipeline.maybe(
+            split, args.batch, mesh=mesh, keys=model.batch_keys, seed=0)
+        assert pipeline is not None, "dataset did not qualify for the cache"
+    else:
+        transfer, transform = make_place_stages(mesh, split,
+                                                keys=model.batch_keys)
+        pipeline = Pipeline(split, args.batch, seed=0, place=transfer,
+                            post=transform)
 
     host_batch = next(split.iter_epoch(args.batch, shuffle=False))
     ts = model.init_state(jax.random.PRNGKey(0), host_batch)
@@ -222,9 +228,12 @@ def run_e2e(args) -> dict:
     for _ in range(2):
         ts, _ = model.train(ts, s)
     _barrier(ts)
-    # rebuild the source so the record cache is cold for the timed epoch 1
-    split.source._materialized = None
-    split.source._records = None
+    if not args.device_cache:
+        # rebuild the source so the record cache is cold for the timed
+        # epoch 1 (moot for the device cache: its one-time fill already
+        # happened at pipeline construction)
+        split.source._materialized = None
+        split.source._records = None
 
     first = one_epoch()
     # steady-state = MEDIAN of the remaining epochs: the reference transcript's
@@ -233,9 +242,11 @@ def run_e2e(args) -> dict:
     epochs = sorted(one_epoch() for _ in range(max(args.e2e_epochs - 1, 1)))
     steady = float(np.median(epochs))
     img_s = calls_per_epoch * args.batch / steady
+    mode = ("device-resident cache" if args.device_cache
+            else "TFRecord+uint8 pipeline")
     result = {
         "metric": f"{args.model.upper()} end-to-end images/sec/chip "
-                  "(TFRecord+uint8 pipeline)",
+                  f"({mode})",
         "value": round(img_s / n_chips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / n_chips / ref_img_s, 3),
@@ -367,6 +378,11 @@ def main() -> None:
                         help="--e2e workload: iwgan (headline) or cnn (the "
                              "reference's guide.tex pipeline transcript is a "
                              "CNN AE run — 1:1 comparison).")
+    parser.add_argument("--device_cache", action="store_true", default=False,
+                        help="--e2e variant: feed from the device-resident "
+                             "dataset cache (the training default, "
+                             "--device_data_cache) instead of streaming "
+                             "uint8 batches over the host link.")
     parser.add_argument("--e2e_count", type=int, default=18432,
                         help="Records in the synthetic TFRecord file.")
     parser.add_argument("--e2e_epochs", type=int, default=4)
@@ -402,7 +418,8 @@ def _attach_artifacts(result: dict) -> None:
     one-line record carries quality alongside throughput."""
     root = os.path.dirname(os.path.abspath(__file__))
     for name, key in (("fid.json", "fid"), ("e2e.json", "e2e"),
-                      ("e2e_cnn.json", "e2e_cnn")):
+                      ("e2e_cnn.json", "e2e_cnn"),
+                      ("e2e_cached.json", "e2e_cached")):
         path = os.path.join(root, "workspace", "artifacts", name)
         try:
             with open(path) as f:

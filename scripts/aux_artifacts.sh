@@ -23,6 +23,10 @@ echo "=== e2e bench (cnn, the reference transcript's workload): $(date)"
 python bench.py --e2e --model cnn > "$A/e2e_cnn.json" 2> "$A/e2e_cnn.log" \
     || echo "e2e cnn failed"
 
+echo "=== e2e bench (device-resident cache, the training default): $(date)"
+python bench.py --e2e --device_cache > "$A/e2e_cached.json" \
+    2> "$A/e2e_cached.log" || echo "e2e cached failed"
+
 echo "=== compute bench: $(date)"
 python bench.py > "$A/compute.json" 2> "$A/compute.log" || echo "bench failed"
 

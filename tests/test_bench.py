@@ -54,11 +54,12 @@ class TestRunE2E:
     on-chip normalize -> train step -> epoch timing) on the 8-device CPU
     mesh at tiny sizes, for both workloads."""
 
-    def _args(self, tmp_path, model):
+    def _args(self, tmp_path, model, device_cache=False):
         import types
         return types.SimpleNamespace(
             batch=16, image=32, latent=16, steps=2, warmup=1, no_fused=False,
-            e2e_count=96, e2e_epochs=3, cache=str(tmp_path), model=model)
+            e2e_count=96, e2e_epochs=3, cache=str(tmp_path), model=model,
+            device_cache=device_cache)
 
     def _check(self, result, model, expect_ref):
         assert result["unit"] == "images/sec/chip"
@@ -83,3 +84,9 @@ class TestRunE2E:
         result = bench.run_e2e(args)
         assert result["detail"]["calls_per_epoch"] == 1  # 6 batches/call
         self._check(result, "iwgan", bench.REF_IWGAN_IMG_PER_SEC)
+
+    def test_cnn_device_cache(self, tmp_path):
+        args = self._args(tmp_path, "cnn", device_cache=True)
+        result = bench.run_e2e(args)
+        assert "device-resident cache" in result["metric"]
+        self._check(result, "cnn", bench.REF_CNN_IMG_PER_SEC)
