@@ -124,15 +124,23 @@ def run_compute(args) -> dict:
     return result
 
 
-def _flag_nonbaseline_config(result: dict, args) -> None:
-    """REF_IWGAN_IMG_PER_SEC is the reference's bs512/64px record; a run at
-    any other --batch/--image would report an apples-to-oranges ratio, so
-    drop vs_baseline and say why (ADVICE r2)."""
-    if args.batch != 512 or args.image != 64:
+# The reference records the ratios are computed against, per workload:
+# IWGAN examples.org row ran global batch 512; the CNN guide.tex transcript
+# ran global batch 1024. Both at 64px floorplans.
+_REF_CONFIG = {"iwgan": (512, 64), "cnn": (1024, 64)}
+
+
+def _flag_nonbaseline_config(result: dict, args, model: str = "iwgan") -> None:
+    """Each reference record is tied to its run's batch/image config; a run
+    at any other --batch/--image would report an apples-to-oranges ratio, so
+    drop vs_baseline and say why (ADVICE r2; model-aware since the CNN
+    transcript's record is bs1024, not the IWGAN row's bs512)."""
+    ref_batch, ref_image = _REF_CONFIG[model]
+    if args.batch != ref_batch or args.image != ref_image:
         result["vs_baseline"] = None
         result["vs_baseline_note"] = (
-            f"baseline is bs512/64px; this run is bs{args.batch}/"
-            f"{args.image}px — ratio omitted (not comparable)")
+            f"{model} baseline is bs{ref_batch}/{ref_image}px; this run is "
+            f"bs{args.batch}/{args.image}px — ratio omitted (not comparable)")
 
 
 def _write_synthetic_tfrecords(path: str, n: int, image: int, seed: int = 0):
@@ -196,8 +204,13 @@ def run_e2e(args) -> dict:
     if args.device_cache:
         from hemx.data.pipeline import DeviceDataPipeline
         pipeline = DeviceDataPipeline.maybe(
-            split, args.batch, mesh=mesh, keys=model.batch_keys, seed=0)
-        assert pipeline is not None, "dataset did not qualify for the cache"
+            split, args.batch, mesh=mesh, keys=model.batch_keys, seed=0,
+            budget_mb=args.device_cache_mb)
+        if pipeline is None:
+            raise SystemExit(
+                f"--device_cache: dataset ({args.e2e_count} x {args.image}px "
+                f"uint8) did not fit the {args.device_cache_mb} MB budget — "
+                f"raise --device_cache_mb or drop --device_cache")
     else:
         transfer, transform = make_place_stages(mesh, split,
                                                 keys=model.batch_keys)
@@ -263,7 +276,7 @@ def run_e2e(args) -> dict:
             "n_chips": n_chips,
         },
     }
-    _flag_nonbaseline_config(result, args)
+    _flag_nonbaseline_config(result, args, args.model)
     return result
 
 
@@ -385,6 +398,9 @@ def main() -> None:
                              "uint8 batches over the host link.")
     parser.add_argument("--e2e_count", type=int, default=18432,
                         help="Records in the synthetic TFRecord file.")
+    parser.add_argument("--device_cache_mb", type=int, default=1024,
+                        help="HBM budget for --device_cache (matches the "
+                             "training flag --device_cache_mb).")
     parser.add_argument("--e2e_epochs", type=int, default=4)
     parser.add_argument("--cache", default="/tmp/hemx_bench")
     parser.add_argument("--fid", action="store_true",

@@ -50,24 +50,32 @@ def fmt(v):
     return f"{v:.4g}"
 
 
-def elapsed_seconds(model, max_gap: float = 600.0):
+def elapsed_seconds(model, max_gap: float = 600.0, base: str | None = None):
     """(seconds, had_pauses: bool): actual training wall-clock measured as
     the sum of consecutive event wall-time deltas across ALL the run's
-    tfevents files, dropping pauses longer than ``max_gap`` (crash-restart
-    recompiles, between-session idle). This survives campaign restarts,
-    which truncate the text log (the naive 'Elapsed time:' line then only
-    covers the final attempt)."""
+    tfevents files, dropping pauses (crash-restart recompiles,
+    between-session idle). This survives campaign restarts, which truncate
+    the text log (the naive 'Elapsed time:' line then only covers the
+    final attempt).
+
+    A span counts as a pause only when it is BOTH >= ``max_gap`` and >=
+    10x the run's median inter-event delta: a fixed threshold alone would
+    silently drop legitimate slow spans (a >10-min initial jit compile, an
+    epoch slower than ~30 min at the 3-summaries/epoch cadence) and
+    understate training time, flattering the speedup column."""
     from hemx.summaries.reader import get_all_events
     times: list[float] = []
     for phase in ("train", "validate"):
-        for rows in get_all_events(os.path.join(W, model, phase)).values():
+        for rows in get_all_events(
+                os.path.join(base or W, model, phase)).values():
             times.extend(w for w, _, _ in rows)
     if len(times) < 2:
         return None, False
     times = sorted(set(times))
     deltas = np.diff(times)
-    total = float(deltas[deltas < max_gap].sum())
-    return int(total), bool((deltas >= max_gap).any())
+    gap = max(max_gap, 10.0 * float(np.median(deltas)))
+    total = float(deltas[deltas < gap].sum())
+    return int(total), bool((deltas >= gap).any())
 
 
 def fid_artifact() -> dict | None:
@@ -116,7 +124,11 @@ def sample_statistics(model: str, target_epochs=(10, 50, 100),
     Returns rows of (epoch, fake_mean, fake_std, real_mean, real_std, tvd).
     """
     logdir = os.path.join(base or W, model, "train")
-    fakes = get_histogram_values(logdir, "examples/fakes_hist")
+    # dict() dedupes steps that were re-written across a crash-restart,
+    # keeping the LAST (post-resume) occurrence for fakes AND reals — so a
+    # row never pairs a pre-crash fake histogram with a post-resume real one
+    fakes = list(dict(get_histogram_values(logdir,
+                                           "examples/fakes_hist")).items())
     reals = dict(get_histogram_values(logdir, "examples/real_hist"))
     if not fakes:
         return []

@@ -59,7 +59,7 @@ class TestRunE2E:
         return types.SimpleNamespace(
             batch=16, image=32, latent=16, steps=2, warmup=1, no_fused=False,
             e2e_count=96, e2e_epochs=3, cache=str(tmp_path), model=model,
-            device_cache=device_cache)
+            device_cache=device_cache, device_cache_mb=1024)
 
     def _check(self, result, model, expect_ref):
         assert result["unit"] == "images/sec/chip"
@@ -90,3 +90,50 @@ class TestRunE2E:
         result = bench.run_e2e(args)
         assert "device-resident cache" in result["metric"]
         self._check(result, "cnn", bench.REF_CNN_IMG_PER_SEC)
+
+    def test_device_cache_over_budget_is_diagnostic(self, tmp_path):
+        """An over-budget dataset must exit with the actionable message,
+        not crash later on a None pipeline (python -O stripped the old
+        assert entirely)."""
+        import pytest
+        args = self._args(tmp_path, "cnn", device_cache=True)
+        args.device_cache_mb = 0
+        with pytest.raises(SystemExit, match="device_cache_mb"):
+            bench.run_e2e(args)
+
+
+class TestBaselineFlagging:
+    """vs_baseline must only be reported at each workload's OWN reference
+    config: IWGAN's record is bs512/64px, the CNN transcript's is
+    bs1024/64px (model-aware since round 3; ADVICE r2)."""
+
+    def _result(self):
+        return {"vs_baseline": 1.5}
+
+    def _args(self, batch, image):
+        import types
+        return types.SimpleNamespace(batch=batch, image=image)
+
+    def test_iwgan_baseline_config_keeps_ratio(self):
+        r = self._result()
+        bench._flag_nonbaseline_config(r, self._args(512, 64), "iwgan")
+        assert r["vs_baseline"] == 1.5 and "vs_baseline_note" not in r
+
+    def test_cnn_baseline_is_bs1024(self):
+        r = self._result()
+        bench._flag_nonbaseline_config(r, self._args(1024, 64), "cnn")
+        assert r["vs_baseline"] == 1.5 and "vs_baseline_note" not in r
+
+    def test_cnn_at_bs512_is_flagged(self):
+        # the exact apples-to-oranges case: hemx CNN at bs512 vs the
+        # reference's bs1024 record
+        r = self._result()
+        bench._flag_nonbaseline_config(r, self._args(512, 64), "cnn")
+        assert r["vs_baseline"] is None
+        assert "bs1024" in r["vs_baseline_note"]
+
+    def test_iwgan_offsize_is_flagged(self):
+        r = self._result()
+        bench._flag_nonbaseline_config(r, self._args(256, 64), "iwgan")
+        assert r["vs_baseline"] is None
+        assert "bs512" in r["vs_baseline_note"]

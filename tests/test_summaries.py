@@ -319,6 +319,40 @@ class TestWebGui:
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def _load_parity_report():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "parity_report", os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "parity_report.py"))
+    pr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pr)
+    return pr
+
+
+class TestElapsedSeconds:
+    def test_adaptive_gap_counts_slow_spans(self, tmp_path):
+        """A span below 10x the run's median cadence is legitimate slow
+        training (long jit compile, slow epoch) and must be counted; only
+        true pauses (here a 2 h gap) are dropped. The old fixed-600s
+        threshold silently dropped the 900 s span, understating training
+        time and flattering the speedup column (ADVICE r3)."""
+        from hemx.summaries import proto
+        pr = _load_parity_report()
+        run = tmp_path / "cnn" / "train"
+        w = EventsWriter(str(run))
+        t0 = 1_000_000.0
+        offs = [0, 400, 800, 1700, 2100, 2100 + 7200, 2100 + 7200 + 400]
+        for i, off in enumerate(offs):
+            w._write_event(proto.event(t0 + off, i, summary_bytes=proto.summary(
+                [proto.summary_value_scalar("losses/loss", 1.0)])))
+        w.close()
+        el, paused = pr.elapsed_seconds("cnn", base=str(tmp_path))
+        # deltas 400,400,900,400,7200,400; median 400 -> gap threshold 4000:
+        # everything but the 7200 s pause counts
+        assert el == 2500
+        assert paused is True
+
+
 class TestSampleStatistics:
     def test_report_rows_from_histograms(self, tmp_path):
         """parity_report.sample_statistics derives fake/real pixel mean, std
@@ -360,6 +394,40 @@ class TestSampleStatistics:
         assert [r["epoch"] for r in short] == [10, 50]
         # absent run -> no rows
         assert pr.sample_statistics("missing", base=str(tmp_path)) == []
+
+    def test_duplicate_steps_pair_post_resume_rows(self, tmp_path):
+        """After a crash-restart re-writes an overlapping step into a second
+        tfevents file, fake and real histograms at that step must BOTH come
+        from the post-resume file — never a pre-crash fake paired with a
+        post-resume real (ADVICE r3)."""
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "parity_report", os.path.join(
+                os.path.dirname(__file__), "..", "scripts", "parity_report.py"))
+        pr = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(pr)
+
+        run = tmp_path / "gan" / "train"
+        step = 10 * 32
+        pre = np.full(4096, 0.2, np.float32)    # pre-crash attempt
+        post = np.full(4096, 0.8, np.float32)   # post-resume attempt
+        w = EventsWriter(str(run), filename_suffix="a")
+        w.histogram("examples/fakes_hist", pre, step)
+        w.histogram("examples/real_hist", pre, step)
+        w.close()
+        w = EventsWriter(str(run), filename_suffix="b")  # sorts after "a"
+        w.histogram("examples/fakes_hist", post, step)
+        w.histogram("examples/real_hist", post, step)
+        w.close()
+
+        rows = pr.sample_statistics("gan", target_epochs=(10,),
+                                    base=str(tmp_path))
+        assert len(rows) == 1
+        # both sides resolve to the LAST (post-resume) occurrence: means
+        # match each other and the post values, and TVD is 0
+        np.testing.assert_allclose(rows[0]["fake_mean"], 0.8, atol=1e-6)
+        np.testing.assert_allclose(rows[0]["real_mean"], 0.8, atol=1e-6)
+        assert rows[0]["tvd"] == 0.0
 
 
 class TestWebGuiServer:
@@ -407,6 +475,18 @@ class TestWebGuiServer:
         assert self._get(server, "/run/99")[0] == 404
         assert self._get(server, "/chart?run=-1&phase=train&tag=x")[0] == 404
         assert self._get(server, "/nope")[0] == 404
+
+    def test_client_errors_are_404_not_500(self, server):
+        """Non-integer run values and missing query params are client
+        errors; they must 404 via _NotFound, not fall into the generic
+        500 handler (ADVICE r3)."""
+        assert self._get(server, "/run/abc")[0] == 404
+        assert self._get(server, "/chart?run=abc&phase=train&tag=x")[0] == 404
+        assert self._get(server, "/chart")[0] == 404        # no params at all
+        assert self._get(server, "/chart?run=0")[0] == 404  # missing phase/tag
+        assert self._get(server, "/images?run=0&phase=train")[0] == 404
+        assert self._get(
+            server, "/image.png?run=0&phase=train&tag=x&step=zz")[0] == 404
 
     def test_concurrent_chart_renders(self, server):
         """Chart endpoints render via the OO matplotlib API; concurrent

@@ -56,20 +56,12 @@ def describe_run(run_dir: str) -> None:
 
 
 def plot_tag(run_dir: str, phase: str, tag: str, out: str) -> None:
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
     series = get_tag_values(os.path.join(run_dir, phase), tag)
     if not series:
         message(f"no data for {phase}/{tag}", "warning")
         return
-    fig, ax = plt.subplots(figsize=(8, 4.5))
-    ax.plot([s for s, _ in series], [v for _, v in series])
-    ax.set_title(f"{os.path.basename(run_dir)} {phase}/{tag}")
-    ax.set_xlabel("step")
-    ax.grid(alpha=0.3)
-    fig.savefig(out, bbox_inches="tight")
+    with open(out, "wb") as f:
+        f.write(render_scalar_png(run_dir, phase, tag))
     message(f"wrote {out}")
 
 
@@ -235,18 +227,31 @@ def serve(workspace: str, port: int) -> int:
             self.wfile.write(body)
 
         def _run_index(self, raw) -> int:
-            """Validated run index — rejects out-of-range AND negative
-            values (raw int() indexing would silently resolve /run/-1 to
-            the last run via Python negative indexing)."""
-            i = int(raw)
+            """Validated run index — rejects non-integers, out-of-range AND
+            negative values (raw int() indexing would silently resolve
+            /run/-1 to the last run via Python negative indexing, and a
+            non-numeric value would 500 instead of 404)."""
+            try:
+                i = int(raw)
+            except (TypeError, ValueError):
+                raise _NotFound(f"run {raw!r}")
             if i not in range(len(runs)):
                 raise _NotFound(f"run {i}")
             return i
 
+        @staticmethod
+        def _param(qs, key) -> str:
+            """Required query param -> 404 when absent (a missing ?run=/
+            ?phase=/?tag= is a client error, not a server fault)."""
+            try:
+                return qs[key][0]
+            except (KeyError, IndexError):
+                raise _NotFound(f"missing query param {key!r}")
+
         def _qs_run(self, qs) -> tuple[str, str, str]:
             # index, not a path: no traversal
-            run_dir = runs[self._run_index(qs["run"][0])]
-            return run_dir, qs["phase"][0], qs["tag"][0]
+            run_dir = runs[self._run_index(self._param(qs, "run"))]
+            return run_dir, self._param(qs, "phase"), self._param(qs, "tag")
 
         def do_GET(self):
             try:
@@ -264,12 +269,16 @@ def serve(workspace: str, port: int) -> int:
                     d, p, t = self._qs_run(qs)
                     self._send(render_histogram_png(d, p, t), "image/png")
                 elif parsed.path == "/images":
-                    i = self._run_index(qs["run"][0])
-                    self._send(images_html(i, runs[i], qs["phase"][0],
-                                           qs["tag"][0]).encode())
+                    i = self._run_index(self._param(qs, "run"))
+                    self._send(images_html(i, runs[i],
+                                           self._param(qs, "phase"),
+                                           self._param(qs, "tag")).encode())
                 elif parsed.path == "/image.png":
                     d, p, t = self._qs_run(qs)
-                    step = int(qs["step"][0])
+                    try:
+                        step = int(self._param(qs, "step"))
+                    except ValueError:
+                        raise _NotFound("step")
                     png = dict(get_image_values(
                         os.path.join(d, p), t)).get(step, b"")
                     self._send(png, "image/png")
