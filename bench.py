@@ -435,7 +435,8 @@ def _attach_artifacts(result: dict) -> None:
     root = os.path.dirname(os.path.abspath(__file__))
     for name, key in (("fid.json", "fid"), ("e2e.json", "e2e"),
                       ("e2e_cnn.json", "e2e_cnn"),
-                      ("e2e_cached.json", "e2e_cached")):
+                      ("e2e_cached.json", "e2e_cached"),
+                      ("e2e_cnn_cached.json", "e2e_cnn_cached")):
         path = os.path.join(root, "workspace", "artifacts", name)
         try:
             with open(path) as f:

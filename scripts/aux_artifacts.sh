@@ -20,8 +20,14 @@ echo "=== e2e bench: $(date)"
 python bench.py --e2e > "$A/e2e.json" 2> "$A/e2e.log" || echo "e2e failed"
 
 echo "=== e2e bench (cnn, the reference transcript's workload): $(date)"
-python bench.py --e2e --model cnn > "$A/e2e_cnn.json" 2> "$A/e2e_cnn.log" \
-    || echo "e2e cnn failed"
+# at the transcript's OWN global batch 1024 so vs_baseline is 1:1
+python bench.py --e2e --model cnn --batch 1024 \
+    > "$A/e2e_cnn.json" 2> "$A/e2e_cnn.log" || echo "e2e cnn failed"
+
+echo "=== e2e bench (cnn, device-resident cache): $(date)"
+python bench.py --e2e --model cnn --batch 1024 --device_cache \
+    > "$A/e2e_cnn_cached.json" 2> "$A/e2e_cnn_cached.log" \
+    || echo "e2e cnn cached failed"
 
 echo "=== e2e bench (device-resident cache, the training default): $(date)"
 python bench.py --e2e --device_cache > "$A/e2e_cached.json" \
