@@ -167,7 +167,7 @@ def _write_synthetic_tfrecords(path: str, n: int, image: int, seed: int = 0):
 
 def run_e2e(args) -> dict:
     """End-to-end: TFRecord parse -> compact uint8 cache -> shuffle ->
-    uint8 over the H2D link -> Pallas u8_normalize on-chip -> train step.
+    uint8 over the H2D link -> XLA-fused u8_normalize on-chip -> train step.
     Times the first (cache-fill) epoch against steady-state epochs, like the
     reference's guide transcript (doc/guide.tex:130-137)."""
     import jax
@@ -205,7 +205,8 @@ def run_e2e(args) -> dict:
         from hemx.data.pipeline import DeviceDataPipeline
         pipeline = DeviceDataPipeline.maybe(
             split, args.batch, mesh=mesh, keys=model.batch_keys, seed=0,
-            budget_mb=args.device_cache_mb)
+            budget_mb=args.device_cache_mb,
+            group=model.batches_per_train_call())
         if pipeline is None:
             raise SystemExit(
                 f"--device_cache: dataset ({args.e2e_count} x {args.image}px "

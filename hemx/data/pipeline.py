@@ -99,7 +99,8 @@ class Split:
         self.name = name
         # device_transform: jittable dict->dict applied AFTER device
         # placement. Datasets use it to ship compact uint8 images over the
-        # host->device link and normalize on-chip (hemx.ops.pallas_kernels;
+        # host->device link and normalize on-chip (hemx.ops.pallas_kernels'
+        # XLA-fused u8_normalize;
         # replaces the reference's host-side /255 in tf.data map fns)
         self.device_transform = device_transform
         # transform_needs_rng: batch_transform takes (batch, rng) and applies
@@ -150,7 +151,8 @@ class Split:
 def u8_image_device_transform(keys=("image",), lo: float = 0.0,
                               hi: float = 1.0):
     """Standard device transform: uint8 image channels -> float [lo, hi]
-    via the Pallas/VPU kernel (hemx.ops.pallas_kernels.u8_normalize)."""
+    (hemx.ops.pallas_kernels.u8_normalize — XLA-fused; the hand Pallas
+    kernel is retired, see that module's docstring)."""
     def transform(batch: dict) -> dict:
         from hemx.ops.pallas_kernels import u8_normalize
         out = dict(batch)
@@ -229,7 +231,8 @@ class DeviceDataPipeline:
     """
 
     def __init__(self, split: Split, global_batch: int, *, mesh,
-                 keys=None, shuffle: bool = True, seed: int = 0):
+                 keys=None, shuffle: bool = True, seed: int = 0,
+                 group: int = 1):
         import jax
         from hemx.parallel.mesh import data_sharding, replicated_sharding
 
@@ -237,6 +240,7 @@ class DeviceDataPipeline:
         self.global_batch = global_batch
         self.shuffle = shuffle
         self.seed = seed
+        self.group = max(int(group), 1)
         self._data = data_sharding(mesh)
         repl = replicated_sharding(mesh)
 
@@ -260,6 +264,30 @@ class DeviceDataPipeline:
 
         self._assemble = jax.jit(assemble, in_shardings=(repl, self._data),
                                  out_shardings=self._data)
+
+        def assemble_group(ds, idx):
+            """``group`` batches from ONE flat [group*B] index gather.
+
+            The TPU dynamic-gather has a ~4 ms launch latency regardless of
+            row count (measured round 3, PERF.md), so gathering a whole
+            train call's worth of batches in one program costs the same as
+            gathering one batch — per-call assembly overhead drops ~6x for
+            the WGAN/IWGAN 5-critic+G call. Values are identical to
+            ``group`` separate assembles of the same index slices.
+            """
+            import jax.numpy as jnp
+            gathered = {k: jnp.take(v, idx, axis=0) for k, v in ds.items()}
+            parts = {k: jnp.split(v, self.group) for k, v in gathered.items()}
+            out = []
+            for i in range(self.group):
+                batch = {k: v[i] for k, v in parts.items()}
+                out.append(dt(batch) if dt is not None else batch)
+            return tuple(out)
+
+        self._assemble_group = (jax.jit(assemble_group,
+                                        in_shardings=(repl, self._data),
+                                        out_shardings=self._data)
+                                if self.group > 1 else None)
         self._place_idx = lambda idx: jax.device_put(
             np.asarray(idx, np.int32), self._data)
 
@@ -275,7 +303,7 @@ class DeviceDataPipeline:
     @classmethod
     def maybe(cls, split: Split, global_batch: int, *, mesh, keys=None,
               shuffle: bool = True, seed: int = 0,
-              budget_mb: int = 1024):
+              budget_mb: int = 1024, group: int = 1):
         """The pipeline if the split qualifies, else None (caller falls
         back to the host-streaming Pipeline). Instances are memoized on the
         split so repeated callers (per-epoch validation) reuse one jitted
@@ -286,7 +314,7 @@ class DeviceDataPipeline:
         if split.batch_transform is not None:
             return None
         memo_key = (global_batch, tuple(sorted(keys or ())), shuffle, seed,
-                    id(mesh))
+                    id(mesh), max(int(group), 1))
         memo = getattr(split, "_device_pipelines", None)
         if memo is None:
             memo = split._device_pipelines = {}
@@ -302,17 +330,31 @@ class DeviceDataPipeline:
         if sum(v.nbytes for v in use.values()) > budget_mb * 1024 * 1024:
             return None
         memo[memo_key] = cls(split, global_batch, mesh=mesh, keys=keys,
-                             shuffle=shuffle, seed=seed)
+                             shuffle=shuffle, seed=seed, group=group)
         return memo[memo_key]
 
     def epoch(self, epoch: int) -> Iterator[dict]:
         """Device batches for one epoch — same seeded order as the host
         Pipeline. All XLA dispatch happens on the caller's thread (the
         single-thread enqueue discipline of make_place_stages holds by
-        construction: there is no producer thread)."""
+        construction: there is no producer thread). With ``group`` > 1,
+        ``group`` consecutive batches are assembled by one gather program
+        (identical values/order; the epoch tail that doesn't fill a group
+        falls back to the per-batch program)."""
+        pending: list[np.ndarray] = []
         for idx in self.split.iter_epoch_indices(
                 self.global_batch, shuffle=self.shuffle, seed=self.seed,
                 epoch=epoch):
+            if self._assemble_group is None:
+                yield self._assemble(self.ds, self._place_idx(idx))
+                continue
+            pending.append(idx)
+            if len(pending) == self.group:
+                flat = np.concatenate(pending)
+                pending = []
+                yield from self._assemble_group(self.ds,
+                                                self._place_idx(flat))
+        for idx in pending:
             yield self._assemble(self.ds, self._place_idx(idx))
 
 

@@ -71,7 +71,7 @@ class SyntheticDataset(DataPlugin):
                 action="store_true", default=False,
                 help="Store image/depth as uint8 and normalize on-device "
                      "(the real-dataset path: compact host cache, uint8 over "
-                     "the H2D link, Pallas u8_normalize on-chip). Default "
+                     "the H2D link, u8_normalize on-chip). Default "
                      "float32 keeps exact [0,1] values for numeric tests."),
         }
 

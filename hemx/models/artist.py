@@ -225,6 +225,9 @@ class ArtistModel(ModelPlugin):
         self._jit_eval = jit_step(eval_step, self.mesh, donate_argnums=())
         self._jit_predict = jit_step(predict, self.mesh, donate_argnums=())
 
+    def batches_per_train_call(self) -> int:
+        return 2
+
     def train(self, ts, stream):
         ts, y_metrics = self._jit_y(ts, next(stream))
         ts, x_metrics = self._jit_x(ts, next(stream))

@@ -315,6 +315,9 @@ class ConditionalGanBase(ModelPlugin):
     def n_disc_train(self) -> int:
         return getattr(self.args, "n_disc_train", 1)
 
+    def batches_per_train_call(self) -> int:
+        return self.n_disc_train + 1
+
     def train(self, ts, stream):
         for _ in range(self.n_disc_train):
             ts, d_metrics = self._jit_d(ts, next(stream))

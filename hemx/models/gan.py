@@ -400,6 +400,9 @@ class GanModel(ModelPlugin):
         self._jit_grad_report = jit_step(report_grads, self.mesh,
                                          donate_argnums=())
 
+    def batches_per_train_call(self) -> int:
+        return 1 if self.model_type == "gan" else self.args.n_disc_train + 1
+
     def train(self, ts, stream):
         if self.model_type == "gan":
             return self._jit_fused(ts, next(stream))

@@ -249,6 +249,9 @@ class InfoGan(ModelPlugin):
         self._jit_q = jit_step(q_step, self.mesh)
         self._jit_eval = jit_step(eval_step, self.mesh, donate_argnums=())
 
+    def batches_per_train_call(self) -> int:
+        return 3
+
     def train(self, ts, stream):
         ts, dm = self._jit_d(ts, next(stream))
         ts, gm = self._jit_g(ts, next(stream))

@@ -54,6 +54,14 @@ class ModelPlugin:
     def eval_losses(self, train_state, batch) -> dict:
         raise NotImplementedError
 
+    def batches_per_train_call(self) -> int:
+        """How many batches one ``train()`` call pulls from its stream
+        (WGAN/IWGAN: n_disc_train critic batches + 1 generator batch).
+        The device-resident pipeline uses this as its assembly group so
+        one gather program feeds a whole train call (the TPU gather's
+        launch latency is flat in row count — PERF.md round 3)."""
+        return 1
+
     def write_summaries(self, writer, step, train_state, batch) -> None:
         pass
 

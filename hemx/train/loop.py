@@ -72,7 +72,8 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
         pipeline = DeviceDataPipeline.maybe(
             train_split, global_batch, mesh=mesh, keys=model.batch_keys,
             shuffle=args.shuffle, seed=args.seed,
-            budget_mb=getattr(args, "device_cache_mb", 1024))
+            budget_mb=getattr(args, "device_cache_mb", 1024),
+            group=model.batches_per_train_call())
     if pipeline is not None:
         term.message("Input: device-resident dataset cache "
                      "(on-chip batch gather, no per-step H2D)")

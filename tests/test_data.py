@@ -379,6 +379,31 @@ class TestDeviceDataPipeline:
             for g, w in zip(got, want):
                 np.testing.assert_array_equal(g, w)
 
+    def test_grouped_assembly_matches_per_batch(self):
+        """group>1 (one gather program feeding a whole train call) must
+        yield byte-identical batches in the same order as group=1,
+        including the epoch tail that doesn't fill a group."""
+        import jax
+        from hemx.data.pipeline import DeviceDataPipeline
+        from hemx.parallel.mesh import make_mesh
+
+        split, args = self._split(count=112)  # 7 batches of 16: tail of 1
+        mesh = make_mesh(0)
+        gb = 16
+        per = DeviceDataPipeline.maybe(split, gb, mesh=mesh, keys=("image",),
+                                       shuffle=True, seed=9)
+        grp = DeviceDataPipeline.maybe(split, gb, mesh=mesh, keys=("image",),
+                                       shuffle=True, seed=9, group=3)
+        assert per is not None and grp is not None and per is not grp
+        for e in range(2):
+            got = [np.asarray(jax.device_get(b["image"]))
+                   for b in grp.epoch(e)]
+            want = [np.asarray(jax.device_get(b["image"]))
+                    for b in per.epoch(e)]
+            assert len(got) == len(want) == 7  # 2 groups of 3 + 1 tail
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(g, w)
+
     def test_train_equality_and_validation(self, tmp_path):
         """Full loop.train: device-resident feeding must produce the same
         params as the host pipeline (same seed), and validation must run
@@ -409,6 +434,36 @@ class TestDeviceDataPipeline:
         from hemx.summaries.reader import get_tag_values
         assert get_tag_values(str(tmp_path / "cache_True" / "validate"),
                               "losses/loss")
+
+    def test_train_equality_grouped_gan(self, tmp_path):
+        """loop.train equality cached-vs-streaming for a model whose train
+        call pulls several batches (wgan, n_disc_train=2 -> assembly
+        group 3): the grouped gather must leave training numerics
+        bit-compatible with the host pipeline."""
+        import jax
+        import hemx
+        from hemx.models.plugin import get_model
+        from hemx.parallel.mesh import make_mesh
+        from hemx.data.synthetic import SyntheticDataset
+
+        results = {}
+        for mode in (True, False):
+            args = make_args(model="wgan", batch_size=2, epochs="2",
+                             dir=str(tmp_path / f"gcache_{mode}"), seed=11,
+                             latent_size=8, n_disc_train=2,
+                             synthetic_count=48, synthetic_eval_count=16,
+                             synthetic_u8=True, synthetic_shape=[32, 32, 3],
+                             device_data_cache=mode)
+            mesh = make_mesh(0)
+            splits = SyntheticDataset.get_datasets(args)
+            model = get_model("wgan")(args, mesh)
+            results[mode] = hemx.train(model, splits, args, mesh)
+        a = jax.tree_util.tree_leaves(results[True]["train_state"]["params"])
+        b = jax.tree_util.tree_leaves(results[False]["train_state"]["params"])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(jax.device_get(x)),
+                                       np.asarray(jax.device_get(y)),
+                                       rtol=1e-6, atol=1e-7)
 
     def test_eligibility_gating(self):
         from hemx.data.pipeline import DeviceDataPipeline, Split, ArraySource

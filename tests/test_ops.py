@@ -257,8 +257,8 @@ class TestLayers:
 
 
 class TestPallasKernels:
-    def test_u8_normalize_fallback_matches(self):
-        """On CPU the jnp fallback runs; numerics must match /255 exactly."""
+    def test_u8_normalize_matches_reference_math(self):
+        """The XLA normalize must match /255 exactly for every lo/hi."""
         import numpy as np
         from hemx.ops.pallas_kernels import u8_normalize, u16_normalize
         x = np.random.default_rng(0).integers(0, 256, (4, 32, 32, 3),
@@ -273,6 +273,18 @@ class TestPallasKernels:
         yd = np.asarray(u16_normalize(jnp.asarray(d)))
         np.testing.assert_allclose(yd, d.astype(np.float32) / 65535.0,
                                    atol=1e-7)
+
+    def test_retired_pallas_variant_matches_xla(self):
+        """u8_normalize_pallas (the retired hand kernel, kept as the
+        exercised Pallas integration example) must agree with the XLA
+        path bit-for-bit; on CPU its jnp fallback runs."""
+        import numpy as np
+        from hemx.ops.pallas_kernels import u8_normalize, u8_normalize_pallas
+        x = np.random.default_rng(2).integers(0, 256, (8, 32, 32, 3),
+                                              dtype=np.uint8)
+        a = np.asarray(u8_normalize(jnp.asarray(x), -1.0, 1.0))
+        b = np.asarray(u8_normalize_pallas(jnp.asarray(x), -1.0, 1.0))
+        np.testing.assert_allclose(a, b, atol=1e-6)
 
 
 class TestComputeDtype:
