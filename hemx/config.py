@@ -53,6 +53,13 @@ def build_base_parser() -> CustomArgumentParser:
                       help="RNG seed; randomized each run when unset.")
     misc.add_argument("--n_devices", "--n_gpus", dest="n_devices", type=int, default=0,
                       help="Devices in the data-parallel mesh (0 = all local devices).")
+    misc.add_argument("--model_parallel", type=int, default=1,
+                      help="Tensor-parallel degree: shard every conv/dense "
+                           "kernel's output channels over a second 'model' "
+                           "mesh axis of this size (must divide the device "
+                           "count). 1 = pure data parallelism. No reference "
+                           "analogue — the TPU-native scaling dimension for "
+                           "models too large for one chip's HBM.")
     misc.add_argument("--profile", action="store_true", default=False,
                       help="Capture a jax.profiler trace of the first training steps "
                            "into <dir>/profile (actually wired, unlike the reference's "

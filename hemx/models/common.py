@@ -30,12 +30,14 @@ def new_train_state(params, mstate, opt_states, seed: int, mesh=None) -> dict:
         "rng": jax.random.PRNGKey(seed),
     }
     if mesh is not None:
-        # Replicate onto the mesh NOW so the first jitted step sees the same
+        # Place onto the mesh NOW so the first jitted step sees the same
         # sharding signature as steady-state calls. Without this, step
         # outputs (NamedSharding) differ from init arrays (SingleDevice
         # sharding) and the second call triggers a full recompile.
-        from hemx.parallel.mesh import replicated_sharding
-        ts = jax.device_put(ts, replicated_sharding(mesh))
+        # DP mesh: everything replicated. Mesh with a 'model' axis: kernels
+        # (and their optimizer moments) shard output channels over it.
+        from hemx.parallel.mesh import state_shardings
+        ts = jax.device_put(ts, state_shardings(mesh, ts))
     return ts
 
 

@@ -9,7 +9,6 @@ averaging (hem/util/training.py:23-56) with zero host involvement.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
@@ -60,28 +59,59 @@ def shard_batch(batch, mesh: Mesh):
 
 def jit_step(step_fn: Callable, mesh: Mesh, *, batch_argnums=(1,),
              donate_argnums=(0,), static_argnums=()) -> Callable:
-    """jit ``step_fn(train_state, batch, ...)`` with DP shardings.
+    """jit ``step_fn(train_state, batch, ...)`` with mesh shardings.
 
-    The train_state (argument 0) is replicated and donated (in-place update on
-    device); batch arguments are sharded on their leading axis. Outputs are
-    left to XLA (state stays replicated; scalar metrics are replicated).
+    The train_state (argument 0) is donated (in-place update on device) and
+    sharded by the mesh's rule — fully replicated on a DP mesh; kernel
+    output channels over the 'model' axis on a tensor-parallel mesh
+    (hemx.parallel.mesh.state_shardings). Batch arguments are sharded on
+    their leading axis over 'data'. Outputs are left to XLA.
     """
+    from hemx.parallel.mesh import model_axis_size, state_shardings
+
     repl = replicated_sharding(mesh)
     data = data_sharding(mesh)
+    tp = model_axis_size(mesh) > 1
 
     def in_sharding_for(argnum):
         return data if argnum in batch_argnums else repl
 
-    # cache the jitted function per arity to avoid re-wrapping
-    @functools.lru_cache(maxsize=8)
-    def _jitted(n_args: int):
+    # cache the jitted function per call signature to avoid re-wrapping.
+    # On a TP mesh the state's sharding tree depends on its leaf shapes, so
+    # the key includes the state's treedef + shapes (a handful of model
+    # variants per process — the cache stays tiny).
+    _cache: dict = {}
+
+    def _jitted(n_args: int, state=None):
         in_shardings = tuple(in_sharding_for(i) for i in range(n_args))
-        return jax.jit(step_fn,
-                       in_shardings=in_shardings,
-                       donate_argnums=donate_argnums,
-                       static_argnums=static_argnums)
+        key: tuple = (n_args,)
+        kwargs = {}
+        if state is not None:
+            leaves, treedef = jax.tree_util.tree_flatten(state)
+            key = (n_args, treedef, tuple(np.shape(l) for l in leaves))
+            if key in _cache:
+                return _cache[key]
+            shards = state_shardings(mesh, state)
+            in_shardings = (shards,) + in_shardings[1:]
+            if 0 in donate_argnums:
+                # Donating steps return (new_state, metrics) by framework
+                # convention (ModelPlugin docstring). Pin the new state's
+                # out_shardings to the SAME rule tree: otherwise GSPMD may
+                # propagate e.g. P('model') onto a bias output, and the
+                # next call's donated input then mismatches in_shardings
+                # (donated args cannot be auto-resharded).
+                kwargs["out_shardings"] = (shards, repl)
+        fn = _cache.get(key)
+        if fn is None:
+            fn = _cache[key] = jax.jit(step_fn,
+                                       in_shardings=in_shardings,
+                                       donate_argnums=donate_argnums,
+                                       static_argnums=static_argnums,
+                                       **kwargs)
+        return fn
 
     def call(*args):
-        return _jitted(len(args))(*args)
+        state = args[0] if (tp and 0 not in batch_argnums) else None
+        return _jitted(len(args), state)(*args)
 
     return call

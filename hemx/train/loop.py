@@ -28,6 +28,7 @@ import jax
 import numpy as np
 
 from hemx.config import init_working_dir
+from hemx.parallel.mesh import data_axis_size
 from hemx.models import common
 from hemx.data.pipeline import (DeviceDataPipeline, Pipeline, make_place,
                                 make_place_stages)
@@ -55,7 +56,7 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
     init_working_dir(args)
     ckpt = CheckpointManager(args.dir, args.max_to_keep)
     writers = SummaryWriterSet(args.dir)
-    global_batch = args.batch_size * mesh.size
+    global_batch = args.batch_size * data_axis_size(mesh)
     train_split = splits["train"]
     transfer, transform = make_place_stages(mesh, train_split,
                                             keys=model.batch_keys)
@@ -216,7 +217,7 @@ def inference(model, ts, split, args, mesh, writer, step: int, *,
               label: str = "Validation", max_batches: int | None = None) -> dict:
     """Average eval losses over a split and write one summary
     (reference: hem/util/misc.py:85-93)."""
-    global_batch = args.batch_size * mesh.size
+    global_batch = args.batch_size * data_axis_size(mesh)
     keys = getattr(model, "batch_keys", None)
     feeder = None
     if getattr(args, "device_data_cache", True):

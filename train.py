@@ -27,9 +27,10 @@ def main(argv=None) -> int:
     set_compute_dtype(getattr(args, "dtype", None))
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
-    mesh = make_mesh(args.n_devices)
+    mesh = make_mesh(args.n_devices, model=getattr(args, "model_parallel", 1))
+    axes = " x ".join(f"{k}={v}" for k, v in mesh.shape.items())
     hemx.message(f"Mesh: {mesh.devices.size} device(s) "
-                 f"({mesh.devices.flat[0].platform})")
+                 f"({mesh.devices.flat[0].platform}, {axes})")
     splits = hemx.get_dataset_tensors(args)
     model_cls = hemx.get_model(args.model)
     if model_cls is None:
