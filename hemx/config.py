@@ -60,6 +60,15 @@ def build_base_parser() -> CustomArgumentParser:
                            "count). 1 = pure data parallelism. No reference "
                            "analogue — the TPU-native scaling dimension for "
                            "models too large for one chip's HBM.")
+    misc.add_argument("--spatial_parallel", type=int, default=1,
+                      help="Spatial-parallel degree: shard every image "
+                           "tensor's height dim over a 'spatial' mesh axis "
+                           "of this size (must divide the device count and "
+                           "the image height); GSPMD inserts the conv halo "
+                           "exchanges. 1 = off. The TPU-native form of the "
+                           "reference's patch-based spatial decomposition "
+                           "(paper_fullimage.py:302-316) for images whose "
+                           "activations outgrow one chip's HBM.")
     misc.add_argument("--profile", action="store_true", default=False,
                       help="Capture a jax.profiler trace of the first training steps "
                            "into <dir>/profile (actually wired, unlike the reference's "

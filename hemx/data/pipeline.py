@@ -234,7 +234,8 @@ class DeviceDataPipeline:
                  keys=None, shuffle: bool = True, seed: int = 0,
                  group: int = 1):
         import jax
-        from hemx.parallel.mesh import data_sharding, replicated_sharding
+        from hemx.parallel.mesh import (batch_shardings, data_sharding,
+                                        replicated_sharding)
 
         self.split = split
         self.global_batch = global_batch
@@ -246,6 +247,10 @@ class DeviceDataPipeline:
 
         arrays = self._source_arrays(split)
         use = {k: v for k, v in arrays.items() if not keys or k in keys}
+        # Per-key output shardings: rows over 'data', image height over
+        # 'spatial' on a spatial mesh (gathers preserve rank, and the
+        # device_transform is shape/structure-preserving by contract).
+        batch_sh = batch_shardings(mesh, use)
         cache_key = (tuple(sorted(use)), id(mesh))
         memo = getattr(split, "_device_arrays", None)
         if memo is None:
@@ -263,7 +268,7 @@ class DeviceDataPipeline:
             return dt(batch) if dt is not None else batch
 
         self._assemble = jax.jit(assemble, in_shardings=(repl, self._data),
-                                 out_shardings=self._data)
+                                 out_shardings=batch_sh)
 
         def assemble_group(ds, idx):
             """``group`` batches from ONE flat [group*B] index gather.
@@ -286,7 +291,8 @@ class DeviceDataPipeline:
 
         self._assemble_group = (jax.jit(assemble_group,
                                         in_shardings=(repl, self._data),
-                                        out_shardings=self._data)
+                                        out_shardings=tuple(
+                                            batch_sh for _ in range(self.group)))
                                 if self.group > 1 else None)
         self._place_idx = lambda idx: jax.device_put(
             np.asarray(idx, np.int32), self._data)

@@ -41,6 +41,57 @@ def new_train_state(params, mstate, opt_states, seed: int, mesh=None) -> dict:
     return ts
 
 
+def pin_batch_sharding(x, mesh, spatial: bool = True):
+    """Constrain an on-device batch tensor's sharding on a spatial mesh.
+    No-op on meshes without a 'spatial' axis (leaves DP/TP programs
+    untouched bit-for-bit).
+
+    ``spatial=True``: the canonical batch layout — rows over 'data', image
+    height over 'spatial' (hemx.parallel.mesh.batch_spec).
+    ``spatial=False``: rows over 'data' only (spatially replicated) — forces
+    the consuming subprogram to run data-parallel.
+
+    Why this exists: on a spatial mesh, generated images (G(z)) are born
+    with whatever sharding GSPMD propagated from the replicated latent,
+    while real inputs arrive (data, spatial)-sharded. When one grad closure
+    feeds BOTH through the same conv weights, XLA's SPMD partitioner
+    accumulates the two differently-sharded kernel-grad contributions
+    through its "involuntary full rematerialization" path and produces
+    WRONG gradients (measured: |dW| off by O(1) while the loss matches to
+    1e-6; pinning the fake batch to the input layout makes sp ==
+    single-device to f32 noise). The ``spatial=False`` form is the
+    workaround for the second partitioner defect: reverse-over-reverse conv
+    programs (the IWGAN gradient-penalty double-backprop) mis-partition
+    under spatial sharding regardless of input layout, so the GP sub-term
+    is pinned to the proven-exact data-parallel layout instead
+    (tests/test_models.py::TestSpatialParallel covers both).
+    """
+    if mesh is None or not hasattr(x, "shape"):
+        return x
+    from hemx.parallel.mesh import DATA_AXIS, batch_spec, spatial_axis_size
+    from jax.sharding import NamedSharding, PartitionSpec
+    s = spatial_axis_size(mesh)
+    if s <= 1:
+        return x
+    spec = (batch_spec(x.shape, s) if spatial
+            else PartitionSpec(DATA_AXIS))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def pin_replicated(tree, mesh):
+    """Constrain every leaf of a pytree to fully-replicated sharding.
+    Used on cross-program handoff values (e.g. the spatial-mesh IWGAN
+    split-step's gradient trees): the producing program would otherwise
+    emit GSPMD-chosen shardings (e.g. bias grads P('model')) that the
+    consuming program's explicit in_shardings reject."""
+    if mesh is None:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec
+    sh = NamedSharding(mesh, PartitionSpec())
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(x, sh), tree)
+
+
 def step_rng(ts: dict) -> jax.Array:
     """Per-step key: fold the step counter into the state's base key.
 

@@ -144,6 +144,22 @@ class ConditionalGanBase(ModelPlugin):
         d_loss = d_real + d_fake
         return g_loss, d_loss, d_real, d_fake
 
+    def _pin_dp(self, batch):
+        """Spatial meshes: reshard the batch to the data-parallel layout at
+        step entry, so the whole conditional-GAN step runs DP internally
+        (no-op on meshes without a 'spatial' axis). The conditional
+        families' G consumes the IMAGE as input, so spatial sharding flows
+        through its encoder-deconv backward — where XLA's SPMD partitioner
+        produces wrong generator grads (measured: pix2pix g_grad_norm 19.3
+        vs 4.46 single-device while every loss matches; DP-pinned: exact;
+        the unconditional GANs' G takes a replicated latent and never hits
+        this, hemx/models/gan.py pins only its critic closures). One
+        all-to-all per step; spatial scaling currently benefits cnn and the
+        unconditional GAN family (TestSpatialParallel)."""
+        return jax.tree_util.tree_map(
+            lambda v: common.pin_batch_sharding(v, self.mesh, spatial=False),
+            batch)
+
     def _compile(self):
         check = self.args.check_numerics
 
@@ -151,6 +167,7 @@ class ConditionalGanBase(ModelPlugin):
             # split_step_rng: each critic iteration (step counter unchanged)
             # must see fresh noise/crops — see common.split_step_rng.
             rng, new_base = common.split_step_rng(ts)
+            batch = self._pin_dp(batch)
             prep = self.prepare(batch, Ctx(training=True, rng=rng))
 
             def loss_fn(dp):
@@ -188,6 +205,7 @@ class ConditionalGanBase(ModelPlugin):
 
         def g_step(ts, batch):
             rng, new_base = common.split_step_rng(ts)
+            batch = self._pin_dp(batch)
             prep = self.prepare(batch, Ctx(training=True, rng=rng))
 
             def loss_fn(gp):
@@ -273,6 +291,7 @@ class ConditionalGanBase(ModelPlugin):
         def report_grads(ts, batch):
             """Per-variable D and G gradient stats for --summarize_gradients."""
             rng = common.step_rng(ts)
+            batch = self._pin_dp(batch)  # grads: same pin as the train steps
             prep = self.prepare(batch, Ctx(training=True, rng=rng))
 
             def d_loss_fn(dp):

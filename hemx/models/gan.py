@@ -116,6 +116,17 @@ class GanModel(ModelPlugin):
                                               mstate["generator"], z, ctx)
         return g, ms
 
+    def _pin_fake(self, g):
+        """Spatial meshes: pin generated images to the canonical batch
+        layout INSIDE critic-gradient closures (d_loss_fn), where the
+        critic weights see real and fake inputs in one backward pass —
+        unpinned, GSPMD accumulates the two differently-sharded kernel-grad
+        contributions incorrectly (common.pin_batch_sharding docstring).
+        Generator-gradient closures must NOT pin: there the constraint's
+        backward resharding itself perturbs the generator's fc1 grads
+        (measured, tests/test_models.py::TestSpatialParallel)."""
+        return common.pin_batch_sharding(g, self.mesh)
+
     def _d_forward(self, params, mstate, x, ctx):
         d, ms = self._nets["discriminator"].apply(params["discriminator"],
                                                   mstate["discriminator"], x, ctx)
@@ -142,9 +153,24 @@ class GanModel(ModelPlugin):
         return common.new_train_state(params, mstate, opt, self.args.seed, self.mesh)
 
     def _compile(self):
+        from hemx.parallel.mesh import spatial_axis_size
         latent = self.args.latent_size
         model_type = self.model_type
         check = self.args.check_numerics
+        # Spatial meshes: XLA's SPMD partitioner produces wrong conv-kernel
+        # gradients when one compiled program accumulates grad contributions
+        # under conflicting spatial shardings — measured for (a) the
+        # multi-substep fused critic loop and (b) any program containing the
+        # GP double-backprop (see common.pin_batch_sharding). So under
+        # --spatial_parallel the critic loop dispatches per substep, and the
+        # IWGAN substep splits into three programs: Wasserstein grads
+        # (spatial), GP grads (pinned data-parallel), combine+apply.
+        # Equality vs single-device is asserted in
+        # tests/test_models.py::TestSpatialParallel.
+        sp_on = spatial_axis_size(self.mesh) > 1
+        self._sp_split = sp_on and model_type == "iwgan"
+        self._use_fused_loop = (getattr(self.args, "fused_critic_loop", True)
+                                and not sp_on)
 
         def sample_z(rng, n):
             return jax.random.normal(rng, (n, latent))
@@ -160,6 +186,7 @@ class GanModel(ModelPlugin):
             def d_loss_fn(dp):
                 params = {**ts["params"], "discriminator": dp}
                 g, _ = self._g_forward(params, ts["mstate"], z, ctx())
+                g = self._pin_fake(g)
                 d_real, ms1 = self._d_forward(params, ts["mstate"], x, ctx())
                 d_fake, ms2 = self._d_forward(
                     params, {**ts["mstate"], "discriminator": ms1}, g, ctx())
@@ -207,6 +234,7 @@ class GanModel(ModelPlugin):
                 params = {**ts["params"], "discriminator": dp}
                 ctx_g = Ctx(training=True, rng=rng)
                 g, _ = self._g_forward(params, ts["mstate"], z, ctx_g)
+                g = self._pin_fake(g)
                 if model_type == "iwgan":
                     # IWGAN's D has no BatchNorm (models/gan.py:274), so the
                     # real and fake scores can come from ONE 2B-batch conv
@@ -232,7 +260,9 @@ class GanModel(ModelPlugin):
 
                     gp = L.gradient_penalty(
                         d_apply, x, g, alpha,
-                        per_sample=getattr(self.args, "gp_per_sample", False))
+                        per_sample=getattr(self.args, "gp_per_sample", False),
+                        pin=lambda t: common.pin_batch_sharding(
+                            t, self.mesh, spatial=False))
                     d_loss = d_loss + 10.0 * gp
                 return d_loss, ms2
 
@@ -343,6 +373,7 @@ class GanModel(ModelPlugin):
                 params = {**ts["params"], "discriminator": dp}
                 g, _ = self._g_forward(params, ts["mstate"], z,
                                        Ctx(training=True, rng=rng))
+                g = self._pin_fake(g)
                 d_real, _ = self._d_forward(params, ts["mstate"], x,
                                             Ctx(training=True, rng=rng))
                 d_fake, _ = self._d_forward(params, ts["mstate"], g,
@@ -359,7 +390,9 @@ class GanModel(ModelPlugin):
 
                     gp = L.gradient_penalty(
                         d_apply, x, g, alpha,
-                        per_sample=getattr(self.args, "gp_per_sample", False))
+                        per_sample=getattr(self.args, "gp_per_sample", False),
+                        pin=lambda t: common.pin_batch_sharding(
+                            t, self.mesh, spatial=False))
                     d_loss = d_loss + 10.0 * gp
                 return d_loss
 
@@ -376,6 +409,108 @@ class GanModel(ModelPlugin):
             g_grads = jax.grad(g_loss_fn)(ts["params"]["generator"])
             return common.summarizable_stats(
                 {"discriminator": d_grads, "generator": g_grads})
+
+        def _sub_rngs(ts):
+            """The SAME (z-key, alpha-key, layer-rng, next-base) derivation
+            as d_step, so the split spatial-mesh programs draw identical
+            randomness from identical state."""
+            rng, new_base = common.split_step_rng(ts)
+            rng, zk, ak = jax.random.split(rng, 3)
+            return rng, zk, ak, new_base
+
+        def d_wass_grads(ts, batch):
+            """Spatial-mesh IWGAN critic substep, program 1/3: Wasserstein
+            loss + grads under full (data, spatial) sharding (the one-pass
+            2B-batch critic conv, exact under sp — unlike a program that
+            also contains the GP double-backprop)."""
+            x = 2.0 * (batch["image"] - 0.5)
+            rng, zk, ak, _ = _sub_rngs(ts)
+            z = sample_z(zk, x.shape[0])
+
+            def w_fn(dp):
+                params = {**ts["params"], "discriminator": dp}
+                g, _ = self._g_forward(params, ts["mstate"], z,
+                                       Ctx(training=True, rng=rng))
+                g = self._pin_fake(g)
+                both, ms2 = self._d_forward(
+                    params, ts["mstate"], jnp.concatenate([x, g]),
+                    Ctx(training=True, rng=rng))
+                d_real, d_fake = both[:x.shape[0]], both[x.shape[0]:]
+                _, d_loss = self._losses(d_real, d_fake)
+                return d_loss, ms2
+
+            (d_loss, ms_d), gw = jax.value_and_grad(w_fn, has_aux=True)(
+                ts["params"]["discriminator"])
+            return common.pin_replicated((d_loss, ms_d, gw), self.mesh)
+
+        def d_gp_grads(ts, batch):
+            """Program 2/3: gradient-penalty value + grads, pinned to the
+            proven-exact data-parallel layout, in its OWN XLA program (the
+            double-backprop mis-partitions when compiled together with any
+            spatially-sharded loss term)."""
+            x = 2.0 * (batch["image"] - 0.5)
+            rng, zk, ak, _ = _sub_rngs(ts)
+            z = sample_z(zk, x.shape[0])
+            alpha = jax.random.uniform(ak, (x.shape[0], 1))
+
+            def gp_fn(dp):
+                params = {**ts["params"], "discriminator": dp}
+                g, _ = self._g_forward(params, ts["mstate"], z,
+                                       Ctx(training=True, rng=rng))
+
+                def d_apply(imgs):
+                    scores, _ = self._d_forward(params, ts["mstate"], imgs,
+                                                Ctx(training=True, rng=rng))
+                    return scores
+
+                return L.gradient_penalty(
+                    d_apply, x, g, alpha,
+                    per_sample=getattr(self.args, "gp_per_sample", False),
+                    pin=lambda t: common.pin_batch_sharding(
+                        t, self.mesh, spatial=False))
+
+            gp_val, ggp = jax.value_and_grad(gp_fn)(
+                ts["params"]["discriminator"])
+            return common.pin_replicated((gp_val, ggp), self.mesh)
+
+        def d_combine_apply(ts, d_loss_w, ms_d, gw, gp_val, ggp):
+            """Program 3/3: d_grads = gw + 10*ggp (linearity of the
+            gradient — identical to differentiating the summed loss), then
+            the optimizer apply; same state threading as d_step."""
+            d_grads = jax.tree_util.tree_map(
+                lambda a, b: a + 10.0 * b, gw, ggp)
+            _, new_base = common.split_step_rng(ts)
+            new_d, new_opt_d = common.apply_updates_group(
+                self.d_optimizer, d_grads, ts["opt"]["d"],
+                ts["params"]["discriminator"])
+            metrics = {"d_loss": d_loss_w + 10.0 * gp_val}
+            if check:
+                metrics["grad_finite"] = common.grad_finite_report(
+                    {"d": d_grads})
+            new_ts = {**ts,
+                      "params": {**ts["params"], "discriminator": new_d},
+                      "mstate": {**ts["mstate"], "discriminator": ms_d},
+                      "opt": {**ts["opt"], "d": new_opt_d},
+                      "step": ts["step"],
+                      "rng": new_base}
+            return new_ts, metrics
+
+        def report_g_grads(ts, batch):
+            """Generator grads alone (for the spatial-mesh grad report —
+            exact in its own program; z derived like the training substeps)."""
+            x = 2.0 * (batch["image"] - 0.5)
+            rng, zk, ak, _ = _sub_rngs(ts)
+            z = sample_z(zk, x.shape[0])
+
+            def g_loss_fn(gp_):
+                params = {**ts["params"], "generator": gp_}
+                g, _ = self._g_forward(params, ts["mstate"], z,
+                                       Ctx(training=True, rng=rng))
+                d_fake, _ = self._d_forward(params, ts["mstate"], g,
+                                            Ctx(training=True, rng=rng))
+                return L.wgan_g_loss(d_fake)
+
+            return jax.grad(g_loss_fn)(ts["params"]["generator"])
 
         def fused_loop(ts, *batches):
             """The full WGAN/IWGAN train call — n_disc_train critic updates
@@ -394,6 +529,15 @@ class GanModel(ModelPlugin):
         self._jit_g = jit_step(g_step, self.mesh)
         self._jit_fused_loop = jit_step(
             fused_loop, self.mesh, batch_argnums=tuple(range(1, n_sub + 1)))
+        if self._sp_split:
+            self._jit_d_wass = jit_step(d_wass_grads, self.mesh,
+                                        donate_argnums=())
+            self._jit_d_gp = jit_step(d_gp_grads, self.mesh,
+                                      donate_argnums=())
+            self._jit_d_combine = jit_step(d_combine_apply, self.mesh,
+                                           batch_argnums=())
+            self._jit_report_g = jit_step(report_g_grads, self.mesh,
+                                          donate_argnums=())
         self._jit_eval = jit_step(eval_step, self.mesh, donate_argnums=())
         self._sample = jax.jit(sample, static_argnums=(2,))
         self._jit_capture = jit_step(capture, self.mesh, donate_argnums=())
@@ -406,13 +550,22 @@ class GanModel(ModelPlugin):
     def train(self, ts, stream):
         if self.model_type == "gan":
             return self._jit_fused(ts, next(stream))
-        if getattr(self.args, "fused_critic_loop", True):
+        if self._use_fused_loop:
             batches = [next(stream) for _ in range(self.args.n_disc_train + 1)]
             return self._jit_fused_loop(ts, *batches)
         for _ in range(self.args.n_disc_train):
-            ts, d_metrics = self._jit_d(ts, next(stream))
+            ts, d_metrics = self._d_substep(ts, next(stream))
         ts, metrics = self._jit_g(ts, next(stream))
         return ts, metrics
+
+    def _d_substep(self, ts, batch):
+        """One critic update. Spatial-mesh IWGAN: three programs (see
+        _compile's sp notes); everything else: the single jitted d_step."""
+        if not self._sp_split:
+            return self._jit_d(ts, batch)
+        d_loss_w, ms_d, gw = self._jit_d_wass(ts, batch)
+        gp_val, ggp = self._jit_d_gp(ts, batch)
+        return self._jit_d_combine(ts, d_loss_w, ms_d, gw, gp_val, ggp)
 
     def eval_losses(self, ts, batch) -> dict:
         return self._jit_eval(ts, batch)
@@ -421,6 +574,18 @@ class GanModel(ModelPlugin):
         return self._jit_capture(ts, batch)
 
     def grad_report(self, ts, batch):
+        if self._sp_split:
+            # The combined report program would contain the GP
+            # double-backprop (mis-partitioned under sp) — assemble the
+            # report from the split programs instead; d_grads stay the
+            # gradients actually applied (full loss incl. 10*GP).
+            _, _, gw = self._jit_d_wass(ts, batch)
+            _, ggp = self._jit_d_gp(ts, batch)
+            d_grads = jax.tree_util.tree_map(
+                lambda a, b: a + 10.0 * b, gw, ggp)
+            g_grads = self._jit_report_g(ts, batch)
+            return common.summarizable_stats(
+                {"discriminator": d_grads, "generator": g_grads})
         return self._jit_grad_report(ts, batch)
 
     def write_summaries(self, writer, step, ts, batch) -> None:

@@ -95,6 +95,11 @@ class VaeModel(ModelPlugin):
             params["decoder"], mstate["decoder"], z, ctx)
         # crop to the input size for non-multiple-of-16 images (see cnn.py)
         d_real = d_real[:, :x.shape[1], :x.shape[2], :]
+        # Spatial meshes need no sharding pins here: measured drift of an
+        # sp=2 sgd step vs single-device equals the plain dp=8 drift to 3
+        # digits (f32 reduction-order noise on the sum-reduced loss, not a
+        # partitioner defect — unlike the GAN families, which DO need pins;
+        # see common.pin_batch_sharding and TestSpatialParallel).
         return d_real, z_mean, z_stddev, eps, new_mstate
 
     def _losses(self, x, d_real, z_mean, z_stddev):

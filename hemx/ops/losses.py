@@ -73,7 +73,8 @@ def sigmoid_xent(logits, labels):
     return jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
-def gradient_penalty(d_apply, x_real, x_fake, alpha, *, per_sample: bool = False):
+def gradient_penalty(d_apply, x_real, x_fake, alpha, *, per_sample: bool = False,
+                     pin=None):
     """IWGAN gradient penalty (reference: models/gan.py:214-231).
 
     The reference computes ``slopes = sqrt(sum(grad**2))`` over the WHOLE
@@ -85,16 +86,29 @@ def gradient_penalty(d_apply, x_real, x_fake, alpha, *, per_sample: bool = False
       d_apply: callable image-batch -> critic scores (closed over params).
       x_real, x_fake: (B, ...) batches.
       alpha: (B, 1) or broadcastable uniform interpolation coefficients.
+      pin: optional array -> array sharding pin applied to the interpolant
+        and the inner input-gradient. On spatial meshes the GAN models pass
+        a data-parallel pin here: XLA's SPMD partitioner computes wrong
+        weight gradients for reverse-over-reverse conv programs under
+        spatial sharding, so the GP sub-term runs in the proven-exact DP
+        layout (hemx.models.common.pin_batch_sharding docstring).
     """
-    flat_real = x_real.reshape(x_real.shape[0], -1)
-    flat_fake = x_fake.reshape(x_fake.shape[0], -1)
-    interp = flat_real + alpha * (flat_fake - flat_real)
-    interp = interp.reshape(x_real.shape)
+    # Broadcast alpha to the batch's native rank instead of flattening to
+    # (B, -1) and back: elementwise-identical values, but the interpolant
+    # keeps the inputs' layout/sharding — on a spatial mesh the flatten
+    # collapses the height dim into the flat axis and forces a resharding
+    # of the GP input (the double-backprop then mixes sharding regimes).
+    a = alpha.reshape((alpha.shape[0],) + (1,) * (x_real.ndim - 1))
+    interp = x_real + a * (x_fake - x_real)
+    if pin is not None:
+        interp = pin(interp)
 
     def d_sum(z):
         return jnp.sum(d_apply(z))
 
     grads = jax.grad(d_sum)(interp)
+    if pin is not None:
+        grads = pin(grads)
     if per_sample:
         slopes = jnp.sqrt(jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, axis=1))
     else:

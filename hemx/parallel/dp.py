@@ -40,21 +40,25 @@ def host_slice(batch, *, process_index=None, process_count=None):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host (numpy) batch onto the mesh, sharded on axis 0.
+    """Place a host (numpy) batch onto the mesh, sharded on axis 0 over
+    'data' (and, on a spatial mesh, image height over 'spatial' —
+    hemx.parallel.mesh.batch_spec).
 
-    Single-host: a device_put of the global batch with a data sharding.
+    Single-host: a device_put of the global batch with the batch sharding.
     Multi-host: the GLOBAL batch is host-sliced to this process's portion
     and assembled via jax.make_array_from_process_local_data.
     """
-    sharding = data_sharding(mesh)
+    from hemx.parallel.mesh import batch_shardings
+
+    shardings = batch_shardings(mesh, batch)
     if jax.process_count() > 1:
         local = host_slice(batch)
         return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                sharding, np.asarray(x)),
-            local)
+            lambda x, s: jax.make_array_from_process_local_data(
+                s, np.asarray(x)),
+            local, shardings)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+        lambda x, s: jax.device_put(x, s), batch, shardings)
 
 
 def jit_step(step_fn: Callable, mesh: Mesh, *, batch_argnums=(1,),
@@ -67,32 +71,55 @@ def jit_step(step_fn: Callable, mesh: Mesh, *, batch_argnums=(1,),
     (hemx.parallel.mesh.state_shardings). Batch arguments are sharded on
     their leading axis over 'data'. Outputs are left to XLA.
     """
-    from hemx.parallel.mesh import model_axis_size, state_shardings
+    from hemx.parallel.mesh import (batch_shardings, model_axis_size,
+                                    spatial_axis_size, state_shardings)
 
     repl = replicated_sharding(mesh)
     data = data_sharding(mesh)
     tp = model_axis_size(mesh) > 1
-
-    def in_sharding_for(argnum):
-        return data if argnum in batch_argnums else repl
+    sp = spatial_axis_size(mesh) > 1
+    # tp/sp meshes need per-leaf sharding trees (kernel channels over
+    # 'model'; image H over 'spatial'), which depend on the actual arg
+    # shapes — build them per call and memoize on treedef+shapes (a
+    # handful of model variants per process, the cache stays tiny).
+    structured = tp or sp
 
     # cache the jitted function per call signature to avoid re-wrapping.
-    # On a TP mesh the state's sharding tree depends on its leaf shapes, so
-    # the key includes the state's treedef + shapes (a handful of model
-    # variants per process — the cache stays tiny).
     _cache: dict = {}
 
-    def _jitted(n_args: int, state=None):
-        in_shardings = tuple(in_sharding_for(i) for i in range(n_args))
-        key: tuple = (n_args,)
+    def _key_of(tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        return treedef, tuple(np.shape(l) for l in leaves)
+
+    def _jitted(args):
+        n_args = len(args)
+        if not structured:
+            key: tuple = (n_args,)
+            fn = _cache.get(key)
+            if fn is None:
+                in_shardings = tuple(data if i in batch_argnums else repl
+                                     for i in range(n_args))
+                fn = _cache[key] = jax.jit(step_fn,
+                                           in_shardings=in_shardings,
+                                           donate_argnums=donate_argnums,
+                                           static_argnums=static_argnums)
+            return fn
+
+        has_state = 0 not in batch_argnums
+        key = (n_args,
+               _key_of(args[0]) if has_state else None,
+               tuple(_key_of(args[i]) for i in batch_argnums if i < n_args))
+        fn = _cache.get(key)
+        if fn is not None:
+            return fn
+        in_shardings = [repl] * n_args
+        for i in batch_argnums:
+            if i < n_args:
+                in_shardings[i] = batch_shardings(mesh, args[i])
         kwargs = {}
-        if state is not None:
-            leaves, treedef = jax.tree_util.tree_flatten(state)
-            key = (n_args, treedef, tuple(np.shape(l) for l in leaves))
-            if key in _cache:
-                return _cache[key]
-            shards = state_shardings(mesh, state)
-            in_shardings = (shards,) + in_shardings[1:]
+        if has_state:
+            shards = state_shardings(mesh, args[0])
+            in_shardings[0] = shards
             if 0 in donate_argnums:
                 # Donating steps return (new_state, metrics) by framework
                 # convention (ModelPlugin docstring). Pin the new state's
@@ -101,17 +128,14 @@ def jit_step(step_fn: Callable, mesh: Mesh, *, batch_argnums=(1,),
                 # next call's donated input then mismatches in_shardings
                 # (donated args cannot be auto-resharded).
                 kwargs["out_shardings"] = (shards, repl)
-        fn = _cache.get(key)
-        if fn is None:
-            fn = _cache[key] = jax.jit(step_fn,
-                                       in_shardings=in_shardings,
-                                       donate_argnums=donate_argnums,
-                                       static_argnums=static_argnums,
-                                       **kwargs)
+        fn = _cache[key] = jax.jit(step_fn,
+                                   in_shardings=tuple(in_shardings),
+                                   donate_argnums=donate_argnums,
+                                   static_argnums=static_argnums,
+                                   **kwargs)
         return fn
 
     def call(*args):
-        state = args[0] if (tp and 0 not in batch_argnums) else None
-        return _jitted(len(args), state)(*args)
+        return _jitted(args)(*args)
 
     return call

@@ -15,6 +15,15 @@ hem/util/training.py:23-56 average_gradients, hem/ops/input.py batch_slice):
   no analogue (its scaling story stops at 2-GPU towers); this is the
   TPU-native scaling dimension for models whose params/activations outgrow
   one chip's HBM.
+* an optional ``spatial`` axis (``--spatial_parallel N``) shards every image
+  tensor's HEIGHT dim over ``N`` devices: params stay replicated across it,
+  activations flow through the network spatially partitioned, and GSPMD
+  inserts the conv halo exchanges (collective-permutes of the kernel-overlap
+  rows) on ICI. This is the TPU-native form of the reference's spatial
+  decomposition (its host-side patch fan-out, paper_fullimage.py:302-316,
+  splits scenes into 65x65 patches because one GPU can't hold the scene;
+  spatial sharding instead keeps ONE image's activations distributed across
+  chips) — the scaling dimension for images too large for a chip's HBM.
 
 Multi-host: ``initialize_distributed`` wires jax.distributed so the same mesh
 spans slices over DCN (the reference was single-process; this is the rebuild's
@@ -30,6 +39,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 MODEL_AXIS = "model"
 
 
@@ -43,12 +53,29 @@ def initialize_distributed(coordinator: Optional[str] = None,
                                    process_id=process_id)
 
 
-def make_mesh(n_devices: int = 0, devices=None, model: int = 1) -> Mesh:
+def make_mesh(n_devices: int = 0, devices=None, model: int = 1,
+              spatial: int = 1) -> Mesh:
     """Mesh over ``n_devices`` (0 = all available).
 
-    ``model=1`` (default): 1-D data-parallel mesh, axes ``("data",)``.
-    ``model=m>1``: 2-D ``(data=n/m, model=m)`` mesh — batch sharded over
-    ``data``, kernel output channels over ``model`` (see module docstring).
+    Defaults to a 1-D data-parallel mesh, axes ``("data",)``. ``model=m>1``
+    or ``spatial=s>1`` adds that axis as the inner mesh dim: batch rows
+    shard over ``data``, image height over ``spatial``, kernel output
+    channels over ``model`` (see module docstring). The inner axis
+    (``model``'s per-layer channel collectives / ``spatial``'s halo
+    exchanges fire far more often than ``data``'s one gradient all-reduce
+    per step) maps to the closest ICI neighbours.
+
+    ``spatial`` and ``model`` are mutually exclusive: with both axes on one
+    mesh, XLA's SPMD partitioner emits numerically WRONG conv weight
+    gradients for every model family except plain supervised CNNs
+    (measured on jax 0.8.x: cnn exact to 2e-5, vae/gan/wgan/iwgan first-
+    order d-grads off by O(1) — the partitioner's "involuntary full
+    rematerialization" path mis-accumulates kernel grads when channel- and
+    height-sharding compose in one backward pass; Shardy does not fix it).
+    Each axis is individually proven exact against single-device runs
+    (tests/test_models.py::TestModelParallel / TestSpatialParallel), so the
+    combination is rejected loudly here rather than silently corrupting
+    training.
     """
     devs = list(devices if devices is not None else jax.devices())
     if n_devices and n_devices > 0:
@@ -57,17 +84,34 @@ def make_mesh(n_devices: int = 0, devices=None, model: int = 1) -> Mesh:
                 f"requested {n_devices} devices but only {len(devs)} available")
         devs = devs[:n_devices]
     model = max(int(model), 1)
-    if model == 1:
-        return Mesh(np.array(devs), (DATA_AXIS,))
-    if len(devs) % model:
+    spatial = max(int(spatial), 1)
+    if model > 1 and spatial > 1:
         raise ValueError(
-            f"--model_parallel {model} does not divide {len(devs)} devices")
-    grid = np.array(devs).reshape(len(devs) // model, model)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+            "--spatial_parallel and --model_parallel cannot be combined: "
+            "XLA's SPMD partitioner produces wrong conv weight gradients "
+            "when channel- and height-sharding compose in one backward "
+            "pass (see make_mesh docstring). Use one axis with data "
+            "parallelism instead.")
+    if model * spatial == 1:
+        return Mesh(np.array(devs), (DATA_AXIS,))
+    if len(devs) % (model * spatial):
+        asked = " x ".join(f"--{n} {v}" for n, v in
+                           (("spatial_parallel", spatial),
+                            ("model_parallel", model)) if v > 1)
+        raise ValueError(f"{asked} does not divide {len(devs)} device(s)")
+    shape = [len(devs) // (model * spatial), spatial, model]
+    names = [DATA_AXIS, SPATIAL_AXIS, MODEL_AXIS]
+    keep = [i for i, s in enumerate(shape) if s > 1 or i == 0]
+    grid = np.array(devs).reshape([shape[i] for i in keep])
+    return Mesh(grid, tuple(names[i] for i in keep))
 
 
 def model_axis_size(mesh: Mesh) -> int:
     return mesh.shape.get(MODEL_AXIS, 1)
+
+
+def spatial_axis_size(mesh: Mesh) -> int:
+    return mesh.shape.get(SPATIAL_AXIS, 1)
 
 
 def data_axis_size(mesh: Mesh) -> int:
@@ -78,8 +122,29 @@ def data_axis_size(mesh: Mesh) -> int:
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch-dim sharding (axis 0 over 'data'; replicated over 'model')."""
+    """Batch-dim sharding (axis 0 over 'data'; replicated over the other
+    axes). Rank-agnostic — for index slices and non-image leaves; image
+    batches on a spatial mesh use :func:`batch_spec`."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def batch_spec(shape, spatial: int) -> P:
+    """PartitionSpec for one batch leaf: axis 0 (rows) over 'data'; on a
+    spatial mesh, axis 1 (image height, NHWC) of rank-3/4 leaves whose H
+    divides ``spatial`` additionally shards over 'spatial'. Labels, latents
+    and other low-rank leaves shard over 'data' only."""
+    if (spatial > 1 and len(shape) >= 3 and shape[1] >= spatial
+            and shape[1] % spatial == 0):
+        return P(DATA_AXIS, SPATIAL_AXIS)
+    return P(DATA_AXIS)
+
+
+def batch_shardings(mesh: Mesh, tree):
+    """Pytree of per-leaf NamedShardings for a host or device batch
+    (rank-aware — see :func:`batch_spec`)."""
+    s = spatial_axis_size(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, batch_spec(np.shape(x), s)), tree)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -14,10 +14,12 @@ from hemx.parallel.mesh import make_mesh
 from hemx.parallel.dp import shard_batch
 
 
-def _setup(model_name, n_devices=0, model_parallel=1, **overrides):
+def _setup(model_name, n_devices=0, model_parallel=1, spatial_parallel=1,
+           **overrides):
     from hemx.parallel.mesh import data_axis_size
     args = make_args(model=model_name, **overrides)
-    mesh = make_mesh(n_devices, model=model_parallel)
+    mesh = make_mesh(n_devices, model=model_parallel,
+                     spatial=spatial_parallel)
     splits = SyntheticDataset.get_datasets(args)
     model = get_model(model_name)(args, mesh)
     global_batch = args.batch_size * data_axis_size(mesh)
@@ -586,6 +588,164 @@ class TestModelParallel:
             for leaf in jax.tree_util.tree_leaves(
                     res["train_state"]["params"]):
                 assert np.isfinite(np.asarray(jax.device_get(leaf))).all()
+
+
+class TestSpatialParallel:
+    """--spatial_parallel: image-height sharding over a 'spatial' mesh axis
+    (hemx.parallel.mesh.batch_spec); GSPMD supplies the conv halo
+    exchanges. Shardings never change math — spatially-partitioned runs
+    must equal single-device runs on the same global batch. TPU-native
+    replacement for the reference's patch-based spatial decomposition
+    (paper_fullimage.py:302-316)."""
+
+    def test_batch_placement_rule(self):
+        """shard_batch on a spatial mesh lands rank-4 image leaves sharded
+        (data, spatial) and low-rank leaves (labels, latents) data-only."""
+        from hemx.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
+        mesh = make_mesh(0, spatial=2)
+        assert dict(mesh.shape) == {"data": 4, "spatial": 2}
+        host = {"image": np.zeros((8, 32, 32, 3), np.float32),
+                "label": np.zeros((8,), np.int32),
+                "odd_h": np.zeros((8, 31, 31, 3), np.float32)}
+        dev = shard_batch(host, mesh)
+        assert dev["image"].sharding.spec == (DATA_AXIS, SPATIAL_AXIS)
+        assert tuple(dev["label"].sharding.spec) == (DATA_AXIS,)
+        # height not divisible by the spatial degree -> data-only fallback
+        assert tuple(dev["odd_h"].sharding.spec) == (DATA_AXIS,)
+
+    def test_sp_tp_combination_rejected(self):
+        """spatial x model on one mesh is rejected loudly: XLA's SPMD
+        partitioner mis-accumulates conv weight grads when channel- and
+        height-sharding compose in one backward pass (make_mesh
+        docstring). Silently-wrong training is the one unacceptable
+        failure mode."""
+        with pytest.raises(ValueError, match="cannot be combined"):
+            make_mesh(0, spatial=2, model=2)
+
+    def test_sp_cnn_matches_single_device(self):
+        """sgd: spatial sharding moves conv reductions across shard
+        boundaries (f32 reduction-order noise ~1e-7), and rmsprop's first
+        step is ~sign(g)*lr/sqrt(1-decay) — it amplifies that noise to
+        visible update flips on near-zero gradients (same reason the DP
+        iwgan equality test runs sgd)."""
+        args8, mesh8, splits, model8, ts8, gb = _setup(
+            "cnn", n_devices=0, spatial_parallel=2, batch_size=2,
+            optimizer="sgd", lr=1e-3)
+        args1, mesh1, _, model1, ts1, _ = _setup("cnn", n_devices=1,
+                                                 batch_size=gb,
+                                                 optimizer="sgd", lr=1e-3)
+        host_batch = next(splits["train"].iter_epoch(gb, shuffle=False))
+
+        def once(model, ts, mesh):
+            s = iter([shard_batch(host_batch, mesh)])
+            return model.train(ts, s)
+
+        ts8n, m8 = once(model8, ts8, mesh8)
+        ts1n, m1 = once(model1, ts1, mesh1)
+        np.testing.assert_allclose(float(jax.device_get(m8["loss"])),
+                                   float(jax.device_get(m1["loss"])),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(ts8n["params"]),
+                        jax.tree_util.tree_leaves(ts1n["params"])):
+            np.testing.assert_allclose(np.asarray(jax.device_get(a)),
+                                       np.asarray(jax.device_get(b)),
+                                       rtol=2e-4, atol=1e-6)
+
+    def test_sp_dp_iwgan_matches_single_device(self):
+        """The sp x dp mesh (data=4, spatial=2): IWGAN's critic substeps
+        with GP double-backprop under simultaneous batch- and height-
+        sharding must equal the single-device run. Exercises the spatial-
+        mesh three-program split (_compile's sp notes: Wasserstein grads
+        spatially sharded, GP grads pinned data-parallel, explicit
+        combine) — the fused one-program forms mis-partition under sp
+        (sgd for the same reason as the DP variant)."""
+        args8, mesh8, splits, model8, ts8, gb = _setup(
+            "iwgan", n_devices=0, spatial_parallel=2,
+            batch_size=2, lr=1e-3, n_disc_train=2, optimizer="sgd")
+        assert dict(mesh8.shape) == {"data": 4, "spatial": 2}
+        args1, mesh1, _, model1, ts1, _ = _setup(
+            "iwgan", n_devices=1, batch_size=gb, lr=1e-3,
+            n_disc_train=2, optimizer="sgd")
+        host_batches = list(splits["train"].iter_epoch(gb, shuffle=False))[:3]
+
+        def once(model, ts, mesh):
+            s = iter([shard_batch(b, mesh) for b in host_batches])
+            return model.train(ts, s)
+
+        ts8n, m8 = once(model8, ts8, mesh8)
+        ts1n, m1 = once(model1, ts1, mesh1)
+        for k in ("g_loss", "d_loss"):
+            np.testing.assert_allclose(float(jax.device_get(m8[k])),
+                                       float(jax.device_get(m1[k])),
+                                       rtol=5e-4, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(ts8n["params"]),
+                        jax.tree_util.tree_leaves(ts1n["params"])):
+            np.testing.assert_allclose(np.asarray(jax.device_get(a)),
+                                       np.asarray(jax.device_get(b)),
+                                       rtol=2e-3, atol=2e-5)
+
+    def test_sp_vae_matches_single_device(self):
+        """VAE under spatial sharding needs NO pins: its sp=2 drift equals
+        the plain dp=8 drift to 3 digits (reduction-order noise on the
+        sum-reduced loss — see VaeModel._forward). Same update-delta metric
+        as the DP vae test (BN-fed conv biases have exactly-zero true
+        gradient, so those leaves are pure float noise)."""
+        args8, mesh8, splits, model8, ts8, gb = _setup(
+            "vae", n_devices=0, spatial_parallel=2, batch_size=2,
+            optimizer="sgd", lr=1e-3)
+        args1, mesh1, _, model1, ts1, _ = _setup(
+            "vae", n_devices=1, batch_size=gb, optimizer="sgd", lr=1e-3)
+        host_batch = next(splits["train"].iter_epoch(gb, shuffle=False))
+
+        old8 = [np.asarray(x) for x in
+                jax.tree_util.tree_leaves(jax.device_get(ts8["params"]))]
+        old1 = [np.asarray(x) for x in
+                jax.tree_util.tree_leaves(jax.device_get(ts1["params"]))]
+        ts8n, m8 = model8.train(ts8, iter([shard_batch(host_batch, mesh8)]))
+        ts1n, m1 = model1.train(ts1, iter([shard_batch(host_batch, mesh1)]))
+        np.testing.assert_allclose(float(jax.device_get(m8["total_loss"])),
+                                   float(jax.device_get(m1["total_loss"])),
+                                   rtol=1e-5)
+        d8 = [np.asarray(jax.device_get(a)) - o for a, o in
+              zip(jax.tree_util.tree_leaves(ts8n["params"]), old8)]
+        d1 = [np.asarray(jax.device_get(a)) - o for a, o in
+              zip(jax.tree_util.tree_leaves(ts1n["params"]), old1)]
+        global_scale = max(np.abs(x).max() for x in d1)
+        for a, b in zip(d8, d1):
+            np.testing.assert_allclose(a, b, rtol=2e-3,
+                                       atol=8e-3 * global_scale)
+
+    def test_sp_pix2pix_matches_single_device(self):
+        """Conditional family on a spatial mesh: G consumes the IMAGE, so
+        spatial sharding would flow through its encoder-deconv backward,
+        where the partitioner emits wrong generator grads (g_grad_norm
+        19.3 vs 4.46 with every loss matching) — the steps reshard the
+        batch to the data-parallel layout at entry instead
+        (ConditionalGanBase._pin_dp). This asserts that path is exact."""
+        kw = dict(n_disc_train=1, add_l1=True, l1_lambda=10.0, noise=[],
+                  dropout=0, batch_norm_disc=False, batch_norm_gen=False,
+                  lr=1e-3, optimizer="sgd")
+        args8, mesh8, splits, model8, ts8, gb = _setup(
+            "pix2pix", n_devices=0, spatial_parallel=2, batch_size=2, **kw)
+        args1, mesh1, _, model1, ts1, _ = _setup(
+            "pix2pix", n_devices=1, batch_size=gb, **kw)
+        host_batches = list(splits["train"].iter_epoch(gb, shuffle=False))[:2]
+
+        def once(model, ts, mesh):
+            s = iter([shard_batch(b, mesh) for b in host_batches])
+            return model.train(ts, s)
+
+        ts8n, m8 = once(model8, ts8, mesh8)
+        ts1n, m1 = once(model1, ts1, mesh1)
+        for k in ("g_loss", "d_loss", "g_grad_norm", "d_grad_norm"):
+            np.testing.assert_allclose(float(jax.device_get(m8[k])),
+                                       float(jax.device_get(m1[k])),
+                                       rtol=5e-4, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(ts8n["params"]),
+                        jax.tree_util.tree_leaves(ts1n["params"])):
+            np.testing.assert_allclose(np.asarray(jax.device_get(a)),
+                                       np.asarray(jax.device_get(b)),
+                                       rtol=2e-3, atol=2e-5)
 
 
 class TestCheckNumerics:

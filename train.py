@@ -27,7 +27,8 @@ def main(argv=None) -> int:
     set_compute_dtype(getattr(args, "dtype", None))
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
-    mesh = make_mesh(args.n_devices, model=getattr(args, "model_parallel", 1))
+    mesh = make_mesh(args.n_devices, model=getattr(args, "model_parallel", 1),
+                     spatial=getattr(args, "spatial_parallel", 1))
     axes = " x ".join(f"{k}={v}" for k, v in mesh.shape.items())
     hemx.message(f"Mesh: {mesh.devices.size} device(s) "
                  f"({mesh.devices.flat[0].platform}, {axes})")
