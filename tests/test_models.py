@@ -589,6 +589,39 @@ class TestModelParallel:
                     res["train_state"]["params"]):
                 assert np.isfinite(np.asarray(jax.device_get(leaf))).all()
 
+    def test_tp_pix2pix_matches_single_device(self):
+        """Conditional family (two optimizers, G consumes the image) on a
+        (data=4, model=2) mesh equals single device — the per-leaf
+        param/moment shardings of a two-optimizer state and the channel-
+        sharded U-net backward are exact under tp (unlike sp, where this
+        family must reshard to DP at step entry — _pin_dp). Same sgd
+        update-delta rationale as the DP iwgan test."""
+        kw = dict(n_disc_train=1, add_l1=True, l1_lambda=10.0, noise=[],
+                  dropout=0, batch_norm_disc=False, batch_norm_gen=False,
+                  lr=1e-3, optimizer="sgd")
+        args8, mesh8, splits, model8, ts8, gb = _setup(
+            "pix2pix", n_devices=0, model_parallel=2, batch_size=2, **kw)
+        assert dict(mesh8.shape) == {"data": 4, "model": 2}
+        args1, mesh1, _, model1, ts1, _ = _setup(
+            "pix2pix", n_devices=1, batch_size=gb, **kw)
+        host_batches = list(splits["train"].iter_epoch(gb, shuffle=False))[:2]
+
+        def once(model, ts, mesh):
+            s = iter([shard_batch(b, mesh) for b in host_batches])
+            return model.train(ts, s)
+
+        ts8n, m8 = once(model8, ts8, mesh8)
+        ts1n, m1 = once(model1, ts1, mesh1)
+        for k in ("g_loss", "d_loss", "g_grad_norm", "d_grad_norm"):
+            np.testing.assert_allclose(float(jax.device_get(m8[k])),
+                                       float(jax.device_get(m1[k])),
+                                       rtol=5e-4, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(ts8n["params"]),
+                        jax.tree_util.tree_leaves(ts1n["params"])):
+            np.testing.assert_allclose(np.asarray(jax.device_get(a)),
+                                       np.asarray(jax.device_get(b)),
+                                       rtol=2e-3, atol=2e-5)
+
 
 class TestSpatialParallel:
     """--spatial_parallel: image-height sharding over a 'spatial' mesh axis
