@@ -748,6 +748,28 @@ class TestSpatialParallel:
             np.testing.assert_allclose(a, b, rtol=2e-3,
                                        atol=8e-3 * global_scale)
 
+    def test_sp_train_loop_end_to_end(self, tmp_path):
+        """Full loop.train on a (data=4, spatial=2) mesh: the device-
+        resident dataset cache must land gathered batches in the
+        (data, spatial) layout (DeviceDataPipeline out_shardings =
+        mesh.batch_shardings), and training/eval/checkpointing must run
+        to completion with finite params."""
+        import hemx
+        from hemx.data.synthetic import SyntheticDataset
+
+        args = make_args(model="cnn", batch_size=4, epochs="2",
+                         dir=str(tmp_path / "sp_ws"), seed=5,
+                         synthetic_count=64, synthetic_eval_count=16,
+                         synthetic_shape=[32, 32, 3], lr=1e-3,
+                         spatial_parallel=2, optimizer="sgd")
+        mesh = make_mesh(0, spatial=2)
+        splits = SyntheticDataset.get_datasets(args)
+        model = get_model("cnn")(args, mesh)
+        res = hemx.train(model, splits, args, mesh)
+        assert res["epoch"] == 2
+        for leaf in jax.tree_util.tree_leaves(res["train_state"]["params"]):
+            assert np.isfinite(np.asarray(jax.device_get(leaf))).all()
+
     def test_sp_pix2pix_matches_single_device(self):
         """Conditional family on a spatial mesh: G consumes the IMAGE, so
         spatial sharding would flow through its encoder-deconv backward,
