@@ -54,9 +54,11 @@ def build_base_parser() -> CustomArgumentParser:
     misc.add_argument("--n_devices", "--n_gpus", dest="n_devices", type=int, default=0,
                       help="Devices in the data-parallel mesh (0 = all local devices).")
     misc.add_argument("--model_parallel", type=int, default=1,
-                      help="Tensor-parallel degree: shard every conv/dense "
-                           "kernel's output channels over a second 'model' "
-                           "mesh axis of this size (must divide the device "
+                      help="Tensor-parallel degree: shard every conv/dense/"
+                           "deconv kernel's last channel dim (output channels"
+                           " for conv/dense, input channels for deconv's "
+                           "[H,W,out,in] layout) over a second 'model' mesh "
+                           "axis of this size (must divide the device "
                            "count). 1 = pure data parallelism. No reference "
                            "analogue — the TPU-native scaling dimension for "
                            "models too large for one chip's HBM.")
@@ -251,7 +253,7 @@ def init_working_dir(args) -> str:
 # Default-true booleans with a BooleanOptionalAction --no-<flag> companion:
 # these must be dumped in their negative form when False or the
 # options.config round-trip would silently re-enable them.
-_NEGATABLE_FLAGS = {"shuffle", "fused_critic_loop"}
+_NEGATABLE_FLAGS = {"shuffle", "fused_critic_loop", "device_data_cache"}
 
 
 def dump_options(args, path: str) -> None:

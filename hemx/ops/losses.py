@@ -98,7 +98,7 @@ def gradient_penalty(d_apply, x_real, x_fake, alpha, *, per_sample: bool = False
     # keeps the inputs' layout/sharding — on a spatial mesh the flatten
     # collapses the height dim into the flat axis and forces a resharding
     # of the GP input (the double-backprop then mixes sharding regimes).
-    a = alpha.reshape((alpha.shape[0],) + (1,) * (x_real.ndim - 1))
+    a = jnp.reshape(alpha, (-1,) + (1,) * (x_real.ndim - 1))
     interp = x_real + a * (x_fake - x_real)
     if pin is not None:
         interp = pin(interp)

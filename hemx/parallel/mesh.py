@@ -9,9 +9,11 @@ hem/util/training.py:23-56 average_gradients, hem/ops/input.py batch_slice):
   over it; gradient reduction is whatever XLA inserts for the mean-loss grad
   over the sharded batch — an ICI all-reduce, not a host round trip;
 * an optional second ``model`` axis (``--model_parallel N``) tensor-shards
-  every conv/dense kernel's output-channel dim (and its optimizer moments)
-  over ``N`` devices — GSPMD then partitions the MXU work and activations
-  channel-wise and places the boundary collectives on ICI. The reference has
+  every conv/dense kernel's LAST dim (and its optimizer moments) over ``N``
+  devices — output channels for conv HWIO / dense [in, out] kernels, input
+  channels for deconv kernels (which use the TF conv2d_transpose
+  [H, W, out, in] layout — CLAUDE.md) — GSPMD then partitions the MXU work
+  and activations channel-wise and places the boundary collectives on ICI. The reference has
   no analogue (its scaling story stops at 2-GPU towers); this is the
   TPU-native scaling dimension for models whose params/activations outgrow
   one chip's HBM.
@@ -154,9 +156,10 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def param_spec(shape, model: int) -> P:
     """Tensor-parallel PartitionSpec for one train-state leaf.
 
-    Kernels (ndim >= 2) shard their last (output-channel / output-feature)
-    dim over ``model`` when divisible — conv HWIO kernels, dense [in, out]
-    kernels, and their optimizer moments (same shapes) all hit this rule.
+    Kernels (ndim >= 2) shard their LAST dim over ``model`` when divisible —
+    the output-channel dim for conv HWIO and dense [in, out] kernels, the
+    INPUT-channel dim for deconv kernels (TF conv2d_transpose [H, W, out, in]
+    layout); their optimizer moments (same shapes) follow the same rule.
     Everything else (biases, BN scale/stats, scalars, rng keys) replicates:
     they are O(C) or O(1), and GSPMD re-slices them against the sharded
     channel dim for free.

@@ -28,7 +28,7 @@ import jax
 import numpy as np
 
 from hemx.config import init_working_dir
-from hemx.parallel.mesh import data_axis_size
+from hemx.parallel.mesh import data_axis_size, spatial_axis_size
 from hemx.models import common
 from hemx.data.pipeline import (DeviceDataPipeline, Pipeline, make_place,
                                 make_place_stages)
@@ -87,6 +87,22 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
     if model.batch_keys:
         host_batch = {k: v for k, v in host_batch.items()
                       if k in model.batch_keys}
+    s = spatial_axis_size(mesh)
+    if s > 1:
+        # batch_spec's divisibility condition would otherwise silently fall
+        # back to data-parallel sharding for the input leaf, leaving the
+        # 'spatial' devices doing fully redundant work; reject loudly here
+        # where the real input heights are known (mid-network activations
+        # with strided-down H legitimately use the same fallback).
+        for k, v in host_batch.items():
+            shp = np.shape(v)
+            if len(shp) >= 3 and (shp[1] < s or shp[1] % s):
+                raise ValueError(
+                    f"--spatial_parallel {s} does not divide the height "
+                    f"{shp[1]} of input '{k}' {tuple(shp[1:])}; the input "
+                    f"would silently shard data-parallel only, wasting the "
+                    f"spatial axis. Pick a dividing height or drop "
+                    f"--spatial_parallel.")
     summary_batch = place(host_batch)
     ts = model.init_state(jax.random.PRNGKey(args.seed), host_batch)
 

@@ -119,6 +119,20 @@ class TestOptionsRoundTrip:
         ns, _ = p.parse_known_args(["@" + path])
         assert ns.shuffle is False
 
+    def test_device_data_cache_false_round_trips(self, tmp_path):
+        """--no-device_data_cache must survive the options.config
+        round-trip (it is default-true; a bare omission would silently
+        re-enable the device cache on a resumed run that disabled it,
+        e.g. to keep a large split out of HBM)."""
+        path = str(tmp_path / "opts.config")
+        import types
+        dump_options(types.SimpleNamespace(device_data_cache=False,
+                                           model="cnn"), path)
+        assert "no-device_data_cache" in open(path).read()
+        p = build_base_parser()
+        ns, _ = p.parse_known_args(["@" + path])
+        assert ns.device_data_cache is False
+
     def test_options_json_twin(self, tmp_path):
         ws = str(tmp_path / "ws")
         args = parse_args(["--model", "vae", "--dataset", "synthetic",

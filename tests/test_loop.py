@@ -20,10 +20,10 @@ from hemx.train.checkpoint import CheckpointManager
 
 def _train(tmp_path, epochs, seed=11, **overrides):
     overrides.setdefault("synthetic_count", 32)
+    overrides.setdefault("synthetic_shape", [32, 32, 3])
     args = make_args(model="cnn", batch_size=2, epochs=str(epochs),
-                     dir=str(tmp_path), seed=seed,
-                     synthetic_shape=[32, 32, 3], examples=4, **overrides)
-    mesh = make_mesh(0)
+                     dir=str(tmp_path), seed=seed, examples=4, **overrides)
+    mesh = make_mesh(0, spatial=getattr(args, "spatial_parallel", 1))
     splits = SyntheticDataset.get_datasets(args)
     model = get_model("cnn")(args, mesh)
     result = hemx.train(model, splits, args, mesh)
@@ -50,6 +50,16 @@ class TestLoop:
         # montages present
         tags = set(get_all_events(str(tmp_path / "train")))
         assert "losses/grad_norm" in tags
+
+    def test_spatial_indivisible_height_rejected(self, tmp_path):
+        """--spatial_parallel that does not divide the input height is
+        rejected loudly at loop start: batch_spec would otherwise silently
+        fall back to data-only sharding and the spatial devices would do
+        fully redundant work (config.py --spatial_parallel help says the
+        height 'must divide')."""
+        with pytest.raises(ValueError, match="spatial_parallel 2"):
+            _train(tmp_path, epochs=1, spatial_parallel=2,
+                   synthetic_shape=[31, 31, 3])
 
     def test_test_epochs_trigger(self, tmp_path):
         """The test split runs exactly at --test_epochs."""

@@ -91,6 +91,11 @@ class TestLosses:
         # reference whole-batch quirk: |grad| = 2*sqrt(16)=8 -> 49
         gp_ref = gradient_penalty(d_apply, x, g, alpha, per_sample=False)
         assert float(gp_ref) == pytest.approx(49.0, rel=1e-5)
+        # documented contract: alpha may be broadcastable (scalar / (1,1)),
+        # not only (B, 1) — same result for a uniform alpha either way
+        for a in (jnp.asarray(0.5), jnp.full((1, 1), 0.5)):
+            gp_b = gradient_penalty(d_apply, x, g, a, per_sample=True)
+            assert float(gp_b) == pytest.approx(9.0, rel=1e-5)
 
 
 class TestActivations:

@@ -61,7 +61,7 @@ def plot_tag(run_dir: str, phase: str, tag: str, out: str) -> None:
         message(f"no data for {phase}/{tag}", "warning")
         return
     with open(out, "wb") as f:
-        f.write(render_scalar_png(run_dir, phase, tag))
+        f.write(render_scalar_png(run_dir, phase, tag, series=series))
     message(f"wrote {out}")
 
 
@@ -162,8 +162,9 @@ def _fig_png(fig) -> bytes:
     return buf.getvalue()
 
 
-def render_scalar_png(run_dir: str, phase: str, tag: str) -> bytes:
-    series = get_tag_values(os.path.join(run_dir, phase), tag)
+def render_scalar_png(run_dir: str, phase: str, tag: str, series=None) -> bytes:
+    if series is None:
+        series = get_tag_values(os.path.join(run_dir, phase), tag)
     fig, ax = _chart_figure()
     if series:
         ax.plot([s for s, _ in series], [v for _, v in series])
