@@ -148,6 +148,12 @@ def build_base_parser() -> CustomArgumentParser:
                            "deterministic-order runs).")
     data.add_argument("--buffer_size", type=int, default=10000,
                       help="Shuffle buffer size (reference: data.py:49).")
+    data.add_argument("--grayscale", action="store_true", default=False,
+                      help="Convert RGB input images to single-channel luma "
+                           "(reference: train.py:175-178,229-231 — there it "
+                           "crashed its hardcoded-3-channel models; hemx "
+                           "models derive channels from the data, so it "
+                           "works end to end).")
     data.add_argument("--cache_dir", default=None,
                       help="On-disk cache location; in-memory cache when unset.")
     data.add_argument("--raw_dataset_dir", default="/tmp")

@@ -148,6 +148,38 @@ class Split:
             yield batch
 
 
+def to_grayscale(split: Split, key: str = "image") -> Split:
+    """``--grayscale``: convert a split's RGB images to single-channel luma
+    (reference: train.py:229-231, tf.image.rgb_to_grayscale — ITU-R BT.601
+    weights 0.2989/0.5870/0.1140).
+
+    The conversion happens ONCE on the materialized compact arrays, so the
+    model inits with 1-channel inputs and the split stays eligible for the
+    device-resident cache (at a third of the HBM). Deviations (documented):
+    uint8 sources stay uint8 with luma rounded to nearest — at most 0.5/255
+    from the reference's convert-after-/255 float path; non-RGB leaves
+    (e.g. 1-channel MNIST) pass through untouched, where the reference's
+    flag crashed its own hardcoded-3-channel models.
+    """
+    try:
+        arrays = DeviceDataPipeline._source_arrays(split)
+    except TypeError:
+        raise ValueError(
+            f"--grayscale: split '{split.name}' has no in-memory image "
+            f"arrays to convert") from None
+    img = arrays.get(key)
+    if img is None or img.ndim != 4 or img.shape[-1] != 3:
+        return split
+    w = np.array([0.2989, 0.5870, 0.1140], np.float32)
+    luma = img.astype(np.float32) @ w
+    if img.dtype == np.uint8:
+        luma = np.round(luma).astype(np.uint8)
+    else:
+        luma = luma.astype(img.dtype)
+    split.source = ArraySource({**arrays, key: luma[..., None]})
+    return split
+
+
 def u8_image_device_transform(keys=("image",), lo: float = 0.0,
                               hi: float = 1.0):
     """Standard device transform: uint8 image channels -> float [lo, hi]

@@ -123,4 +123,8 @@ def get_dataset_tensors(args) -> dict:
             cls.download(args.raw_dataset_dir)
         term.message(f"Converting '{cls.name}' to TFRecord...")
         cls.convert_to_tfrecord(args.raw_dataset_dir, storage)
-    return cls.get_datasets(args)
+    splits = cls.get_datasets(args)
+    if getattr(args, "grayscale", False):
+        from hemx.data.pipeline import to_grayscale
+        splits = {k: to_grayscale(v) for k, v in splits.items()}
+    return splits

@@ -481,3 +481,45 @@ class TestDeviceDataPipeline:
         p1 = DeviceDataPipeline.maybe(s2, 16, mesh=mesh, keys=("image",))
         p2 = DeviceDataPipeline.maybe(s2, 16, mesh=mesh, keys=("image",))
         assert p1 is not None and p1 is p2
+
+
+class TestGrayscale:
+    """--grayscale: RGB -> single-channel luma at the split level
+    (reference: train.py:229-231 tf.image.rgb_to_grayscale; hemx converts
+    the compact arrays once so models init with 1 channel and the device
+    cache stays eligible)."""
+
+    def test_luma_values_and_shape(self):
+        from hemx.data.pipeline import ArraySource, Split, to_grayscale
+
+        rgb = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+        s = to_grayscale(Split(ArraySource({"image": rgb.copy()})))
+        out = s.source.arrays["image"]
+        assert out.shape == (2, 4, 4, 1) and out.dtype == np.uint8
+        w = np.array([0.2989, 0.5870, 0.1140], np.float32)
+        want = np.round(rgb.astype(np.float32) @ w).astype(np.uint8)
+        np.testing.assert_array_equal(out[..., 0], want)
+        # already-single-channel sources pass through untouched (the
+        # reference's flag crashed its hardcoded-3-channel models here)
+        mono = ArraySource({"image": np.zeros((2, 4, 4, 1), np.uint8)})
+        s2 = Split(mono)
+        assert to_grayscale(s2).source is mono
+
+    def test_end_to_end_training(self, tmp_path):
+        """get_dataset_tensors applies --grayscale; cnn derives 1-channel
+        kernels from the data and a full epoch trains."""
+        import hemx
+        from hemx.models.plugin import get_model
+        from hemx.parallel.mesh import make_mesh
+
+        args = make_args(model="cnn", batch_size=2, epochs="1",
+                         dir=str(tmp_path), synthetic_count=32,
+                         synthetic_u8=True, synthetic_shape=[32, 32, 3],
+                         grayscale=True, latent_size=8)
+        splits = hemx.get_dataset_tensors(args)
+        batch = next(splits["train"].iter_epoch(16, shuffle=False))
+        assert batch["image"].shape[-1] == 1
+        mesh = make_mesh(0)
+        model = get_model("cnn")(args, mesh)
+        result = hemx.train(model, splits, args, mesh)
+        assert result["epoch"] == 1
