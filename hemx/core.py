@@ -90,16 +90,7 @@ def sequential(*layers: Layer, name: str = "sequential") -> Layer:
     Duplicate layer names get an ``_N`` suffix so all params stay addressable
     (mirrors TF's automatic scope uniquing).
     """
-    names: list[str] = []
-    seen: dict[str, int] = {}
-    for l in layers:
-        n = l.name
-        if n in seen:
-            seen[n] += 1
-            n = f"{n}_{seen[l.name]}"
-        else:
-            seen[n] = 0
-        names.append(n)
+    names = _unique_names(layers)
 
     def init(key, in_shape):
         params, state = {}, {}
@@ -115,7 +106,7 @@ def sequential(*layers: Layer, name: str = "sequential") -> Layer:
         new_state = dict(state)
         for n, layer in zip(names, layers):
             ctx._scope.append(n)   # inner records land under "<n>/..."
-            x, s = layer.apply(params[n], state[n], x, ctx)
+            x, new_state[n] = layer.apply(params[n], state[n], x, ctx)
             ctx._scope.pop()
             ctx.record(n, x)
         return x, new_state
@@ -123,26 +114,51 @@ def sequential(*layers: Layer, name: str = "sequential") -> Layer:
     return Layer(init, apply, name)
 
 
+def _unique_names(layers: Sequence[Layer]) -> list[str]:
+    """Stable per-child keys: duplicate layer names get an ``_N`` suffix
+    (mirrors TF's automatic scope uniquing), and a generated suffix that
+    would shadow a later explicit name (``name='d_1'`` after two ``'d'``
+    layers) keeps bumping until free."""
+    names: list[str] = []
+    used = {l.name for l in layers}
+    counts: dict[str, int] = {}
+    for l in layers:
+        n = l.name
+        if n in counts:
+            k = counts[n]
+            candidate = f"{n}_{k + 1}"
+            while candidate in used:
+                k += 1
+                candidate = f"{n}_{k + 1}"
+            counts[n] = k + 1
+            n = candidate
+        else:
+            counts[l.name] = 0
+        used.add(n)
+        names.append(n)
+    return names
+
+
 def parallel_sum(*layers: Layer, name: str = "parallel_sum") -> Layer:
     """Apply layers to the same input and sum outputs (residual shortcuts)."""
+    names = _unique_names(layers)
 
     def init(key, in_shape):
         params, state = {}, {}
         out_shape = None
         keys = jax.random.split(key, max(len(layers), 1))
-        for k, layer in zip(keys, layers):
+        for k, n, layer in zip(keys, names, layers):
             p, s, shape = layer.init(k, in_shape)
-            params[layer.name] = p
-            state[layer.name] = s
+            params[n] = p
+            state[n] = s
             out_shape = shape
         return params, state, out_shape
 
     def apply(params, state, x, ctx):
         new_state = dict(state)
         total = None
-        for layer in layers:
-            y, s = layer.apply(params[layer.name], state[layer.name], x, ctx)
-            new_state[layer.name] = s
+        for n, layer in zip(names, layers):
+            y, new_state[n] = layer.apply(params[n], state[n], x, ctx)
             total = y if total is None else total + y
         return total, new_state
 

@@ -106,12 +106,26 @@ def deconv2d_op(x, kernel, out_hw: Tuple[int, int], stride: int = 2,
     ``kernel`` is ``[H, W, out_ch, in_ch]`` (TF conv2d_transpose layout).
     Implemented as the true transpose (input dilation) of the forward conv so
     numerics match TF/cuDNN. ``out_hw`` selects among the valid output sizes
-    (for SAME/stride s: out = in*s).
+    and drives the transpose arithmetic (it is the true adjoint for any
+    legal size); ``padding`` declares which forward-conv padding this is the
+    transpose of and validates ``out_hw`` against TF's legal range for it —
+    SAME: ``(in-1)*s+1 .. in*s``; VALID: ``(in-1)*s+k .. in*s+k-1``
+    (tf.nn.conv2d_transpose rejects mismatches the same way).
     """
     x, kernel = _cast_in(x, kernel)
     kh, kw, out_ch, in_ch = kernel.shape
     n, h, w, c = x.shape
     oh, ow = out_hw
+    for axis, i_dim, o_dim, k_dim in (("H", h, oh, kh), ("W", w, ow, kw)):
+        if padding == "SAME":
+            lo, hi = (i_dim - 1) * stride + 1, i_dim * stride
+        else:
+            lo, hi = (i_dim - 1) * stride + k_dim, i_dim * stride + k_dim - 1
+        if not lo <= o_dim <= hi:
+            raise ValueError(
+                f"deconv2d_op: output {axis}={o_dim} is not a valid "
+                f"{padding} conv2d_transpose size for input {i_dim}, "
+                f"kernel {k_dim}, stride {stride} (legal: {lo}..{hi})")
     pad_h = (h - 1) * stride + kh - oh
     pad_w = (w - 1) * stride + kw - ow
     # TF semantics: any of the `stride` valid output sizes may be requested
@@ -294,9 +308,14 @@ def dense(output_size: int, *, input_size: Optional[int] = None,
 
     def apply_fn(params, state, x, ctx: Ctx):
         xx, w = _cast_in(x, params["w"])
-        y = jnp.dot(xx, w, preferred_element_type=_COMPUTE_DTYPE or jnp.float32,
-                    precision=_PRECISION) + params["b"].astype(
-                        _COMPUTE_DTYPE or jnp.float32)
+        # accumulate in f32 regardless of the compute dtype (the module's
+        # bf16-inputs/f32-accumulate policy; post-flatten dense layers have
+        # contraction dims in the 10^5 range where bf16 accumulation loses
+        # digits), then drop back to the compute dtype for downstream traffic
+        y = jnp.dot(xx, w, preferred_element_type=jnp.float32,
+                    precision=_PRECISION) + params["b"].astype(jnp.float32)
+        if _COMPUTE_DTYPE is not None:
+            y = y.astype(_COMPUTE_DTYPE)
         new_state = state
         if bn is not None:
             y, bn_state = bn.apply(params["bn"], state["bn"], y, ctx)
@@ -376,6 +395,13 @@ def deconv2d(output_size: int, filter_size: int = 3, stride: int = 2, *,
                                use_instance_norm, eval_stats)
     drop = dropout(dropout_keep) if dropout_keep > 0 else None
 
+    def default_hw(h, w):
+        # SAME doubles the spatial dims (v1 semantics); VALID inverts the
+        # VALID forward conv's size arithmetic
+        if padding == "SAME":
+            return h * stride, w * stride
+        return (h - 1) * stride + filter_size, (w - 1) * stride + filter_size
+
     def init_fn(key, in_shape):
         n, h, w, c = in_shape
         if input_size is not None and input_size != c:
@@ -385,7 +411,7 @@ def deconv2d(output_size: int, filter_size: int = 3, stride: int = 2, *,
         params = {"w": init(kw, (filter_size, filter_size, output_size, c), dtype),
                   "b": init(kb, (output_size,), dtype)}
         state = {}
-        oh, ow = out_hw if out_hw is not None else (h * stride, w * stride)
+        oh, ow = out_hw if out_hw is not None else default_hw(h, w)
         out_shape = (n, oh, ow, output_size)
         for i, nl in enumerate(norms):
             p, s, _ = nl.init(kn, out_shape)
@@ -395,7 +421,7 @@ def deconv2d(output_size: int, filter_size: int = 3, stride: int = 2, *,
 
     def apply_fn(params, state, x, ctx: Ctx):
         n, h, w, c = x.shape
-        target = out_hw if out_hw is not None else (h * stride, w * stride)
+        target = out_hw if out_hw is not None else default_hw(h, w)
         y = deconv2d_op(x, params["w"], target, stride, padding)
         y = y + params["b"].astype(y.dtype)
         new_state = dict(state)

@@ -33,6 +33,11 @@ def host_slice(batch, *, process_index=None, process_count=None):
     pi = jax.process_index() if process_index is None else process_index
 
     def sl(x):
+        if x.shape[0] % pc:
+            raise ValueError(
+                f"global batch {x.shape[0]} is not divisible by "
+                f"{pc} processes — the remainder rows would silently "
+                f"belong to no process")
         per = x.shape[0] // pc
         return x[pi * per:(pi + 1) * per]
 

@@ -101,7 +101,13 @@ def histogram_value(tag: str, values) -> bytes:
     arr = np.asarray(values, np.float64).ravel()
     arr = arr[np.isfinite(arr)]
     if arr.size == 0:
-        arr = np.zeros(1)
+        # every value non-finite (e.g. a diverged all-NaN tensor): write an
+        # honest empty histogram (num=0, no buckets) instead of fabricating
+        # a healthy-looking single 0.0 observation that would mask the
+        # divergence the histograms exist to surface
+        return proto.summary_value_histo(
+            tag, hmin=0.0, hmax=0.0, num=0.0, hsum=0.0, sum_squares=0.0,
+            bucket_limits=[], buckets=[])
     counts, _ = np.histogram(arr, bins=[-np.inf] + _EDGES + [np.inf])
     nz = np.nonzero(counts)[0]
     if nz.size:

@@ -83,10 +83,13 @@ def get_all_events(logdir: str) -> dict[str, list[tuple[float, int, float]]]:
     return out
 
 
-def get_tag_values(logdir: str, tag: str) -> list[tuple[int, float]]:
+def get_tag_values(logdir: str, tag: str,
+                   events: dict | None = None) -> list[tuple[int, float]]:
     """Scalar series for one tag, deduped by step favoring latest wall-time
-    (reference: hem/ops/summaries.py:204-242)."""
-    rows = get_all_events(logdir).get(tag, [])
+    (reference: hem/ops/summaries.py:204-242). Pass ``events`` (one
+    get_all_events result) to serve many tags from a single parse of the
+    logdir's event files."""
+    rows = (events if events is not None else get_all_events(logdir)).get(tag, [])
     by_step: dict[int, tuple[float, float]] = {}
     for wall, step, value in rows:
         if step not in by_step or wall >= by_step[step][0]:
@@ -94,8 +97,9 @@ def get_tag_values(logdir: str, tag: str) -> list[tuple[int, float]]:
     return [(s, v) for s, (w, v) in sorted(by_step.items())]
 
 
-def get_scalar_tags(logdir: str) -> list[str]:
-    return sorted(get_all_events(logdir).keys())
+def get_scalar_tags(logdir: str, events: dict | None = None) -> list[str]:
+    return sorted((events if events is not None
+                   else get_all_events(logdir)).keys())
 
 
 def decode_histo(buf: bytes) -> dict:
@@ -118,16 +122,30 @@ def decode_histo(buf: bytes) -> dict:
     return out
 
 
+def _dedup_by_step(rows: list[tuple[float, int, object]]) -> list[tuple[int, object]]:
+    """Dedup (wall_time, step, payload) rows by step favoring latest
+    wall-time — the scalar path's behavior (get_tag_values), applied to
+    histograms/images too: a resumed run re-emits already-logged steps into
+    a new events file, and without dedup the percentile fan / gallery gets
+    duplicate, non-monotonic steps."""
+    by_step: dict[int, tuple[float, object]] = {}
+    for wall, step, payload in rows:
+        if step not in by_step or wall >= by_step[step][0]:
+            by_step[step] = (wall, payload)
+    return [(s, p) for s, (w, p) in sorted(by_step.items())]
+
+
 def get_histogram_values(logdir: str, tag: str) -> list[tuple[int, dict]]:
-    """[(step, decoded HistogramProto)] for a tag under logdir."""
+    """[(step, decoded HistogramProto)] for a tag under logdir, deduped by
+    step (latest wall-time wins, like the scalar path)."""
     rows = []
     for path in event_files(logdir):
         for ev in iter_events(path):
             for v in ev["values"]:
                 if v.get("tag") == tag and "histo" in v:
-                    rows.append((ev["step"], decode_histo(v["histo"])))
-    rows.sort(key=lambda r: r[0])
-    return rows
+                    rows.append((ev["wall_time"], ev["step"],
+                                 decode_histo(v["histo"])))
+    return _dedup_by_step(rows)
 
 
 def decode_image(buf: bytes) -> bytes:
@@ -141,15 +159,16 @@ def decode_image(buf: bytes) -> bytes:
 
 
 def get_image_values(logdir: str, tag: str) -> list[tuple[int, bytes]]:
-    """[(step, png_bytes)] for an image tag under logdir."""
+    """[(step, png_bytes)] for an image tag under logdir, deduped by step
+    (latest wall-time wins, like the scalar path)."""
     rows = []
     for path in event_files(logdir):
         for ev in iter_events(path):
             for v in ev["values"]:
                 if v.get("tag") == tag and "image" in v:
-                    rows.append((ev["step"], decode_image(v["image"])))
-    rows.sort(key=lambda r: r[0])
-    return rows
+                    rows.append((ev["wall_time"], ev["step"],
+                                 decode_image(v["image"])))
+    return _dedup_by_step(rows)
 
 
 def get_image_tags(logdir: str) -> list[str]:
@@ -170,6 +189,25 @@ def get_histogram_tags(logdir: str) -> list[str]:
                 if "histo" in v and "tag" in v:
                     tags.add(v["tag"])
     return sorted(tags)
+
+
+def get_tag_index(logdir: str) -> dict[str, list[str]]:
+    """{'scalars': [...], 'histograms': [...], 'images': [...]} from ONE
+    pass over the logdir's event files (get_scalar_tags +
+    get_histogram_tags + get_image_tags each re-parse everything; page
+    renderers should use this instead)."""
+    kinds = {"simple_value": set(), "histo": set(), "image": set()}
+    for path in event_files(logdir):
+        for ev in iter_events(path):
+            for v in ev["values"]:
+                if "tag" not in v:
+                    continue
+                for key, bucket in kinds.items():
+                    if key in v:
+                        bucket.add(v["tag"])
+    return {"scalars": sorted(kinds["simple_value"]),
+            "histograms": sorted(kinds["histo"]),
+            "images": sorted(kinds["image"])}
 
 
 def _histo_percentiles(h: dict, qs) -> list[float]:

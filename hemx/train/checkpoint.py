@@ -9,7 +9,8 @@ hem/util/state.py:14-34, hem/util/training.py:126-130,162):
 * pointing ``--dir`` at a populated workspace resumes from the latest.
 
 Serialization is flax msgpack over a dict pytree
-{params, state, opt_state, step, epoch, rng_seed} — there is no meta-graph;
+``{"train_state": {params, mstate, opt, step, rng}, "epoch"}`` (the wrapper
+loop.train saves/restores) — there is no meta-graph;
 post-hoc tooling rebuilds the model from options.json and restores params
 (SURVEY.md §5.4 rebuild note).
 """

@@ -38,11 +38,16 @@ def render_experiment(run_dirs: list[str], metrics: list[str], out: str,
     fig, axes = plt.subplots(nrows, ncols, figsize=(5 * ncols, 3.5 * nrows),
                              squeeze=False)
     plotted = 0
+    # one event-file parse per run (get_tag_values per metric would
+    # re-parse the same logdir len(metrics) times)
+    events_by_run = {r: get_all_events(os.path.join(r, phase))
+                     for r in run_dirs}
     for i, metric in enumerate(metrics):
         ax = axes[i // ncols][i % ncols]
         for run_dir in run_dirs:
             tag = f"metrics_{variant}/{metric}"
-            series = get_tag_values(os.path.join(run_dir, phase), tag)
+            series = get_tag_values(os.path.join(run_dir, phase), tag,
+                                    events=events_by_run[run_dir])
             if not series:
                 continue
             ax.plot([s for s, _ in series], [v for _, v in series],

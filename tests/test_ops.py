@@ -190,6 +190,46 @@ class TestLayers:
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_deconv2d_valid_is_valid_conv_transpose(self):
+        """padding='VALID' must be the vjp of the VALID forward conv (the v2
+        reference's deconv supports VALID; the padding arg used to be
+        accepted and silently ignored)."""
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        # VALID forward: (1, 9, 9, 4) -> (1, 3, 3, 2) with k=5 stride 2
+        kernel_fwd = jax.random.normal(k1, (5, 5, 4, 2))
+        y_like = jax.random.normal(k2, (1, 3, 3, 2))
+
+        def fwd(x):
+            return conv2d_op(x, kernel_fwd, 2, "VALID")
+
+        _, vjp = jax.vjp(fwd, jnp.zeros((1, 9, 9, 4)))
+        expected = vjp(y_like)[0]
+        got = deconv2d_op(y_like, kernel_fwd, (9, 9), 2, "VALID")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_deconv2d_rejects_illegal_output_size(self):
+        """tf.nn.conv2d_transpose parity: an output size outside the legal
+        range for the declared padding raises instead of silently computing
+        the wrong geometry."""
+        k = jnp.ones((5, 5, 1, 2))
+        x = jnp.ones((1, 4, 4, 2))
+        with pytest.raises(ValueError, match="not a valid"):
+            deconv2d_op(x, k, (16, 16), 2, "VALID")  # VALID wants 11..12
+        with pytest.raises(ValueError, match="not a valid"):
+            deconv2d_op(x, k, (11, 11), 2, "SAME")  # SAME wants 7..8
+
+    def test_deconv2d_layer_valid_default_inference(self):
+        """Default output size honors padding: VALID inverts the VALID
+        forward-conv arithmetic instead of blindly doubling."""
+        layer = deconv2d(16, 5, 2, padding="VALID")
+        params, state, out_shape = layer.init(jax.random.PRNGKey(0),
+                                              (2, 8, 8, 32))
+        assert out_shape == (2, 19, 19, 16)
+        y, _ = layer.apply(params, state, jnp.ones((2, 8, 8, 32)), Ctx())
+        assert y.shape == (2, 19, 19, 16)
+
     def test_deconv2d_layer_doubles_spatial(self):
         layer = deconv2d(16, 5, 2)
         params, state, out_shape = layer.init(jax.random.PRNGKey(0), (2, 8, 8, 32))
@@ -217,6 +257,49 @@ class TestLayers:
         # but eval must not mutate moving stats
         np.testing.assert_allclose(np.asarray(new_state["mean"]),
                                    np.asarray(state["mean"]))
+
+    def test_sequential_threads_layer_state(self):
+        """Composite layers must RETURN their children's new state —
+        sequential used to copy the old state dict and drop the children's
+        updates, silently freezing every nested BN's moving stats at init."""
+        from hemx.core import parallel_sum
+
+        net = sequential(batch_norm(name="bn"))
+        params, state, _ = net.init(jax.random.PRNGKey(0), (8, 4, 4, 3))
+        x = 5.0 + jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4, 3))
+        _, new_state = net.apply(params, state, x, Ctx(training=True))
+        assert float(np.abs(np.asarray(new_state["bn"]["mean"])).sum()) > 0
+        # parallel_sum too
+        from hemx.core import identity
+        net2 = parallel_sum(batch_norm(name="bn"), identity())
+        p2, s2, _ = net2.init(jax.random.PRNGKey(0), (8, 4, 4, 3))
+        _, ns2 = net2.apply(p2, s2, x, Ctx(training=True))
+        assert float(np.abs(np.asarray(ns2["bn"]["mean"])).sum()) > 0
+
+    def test_composite_name_uniquing(self):
+        """Duplicate child names get _N suffixes without shadowing explicit
+        names (sequential), and parallel_sum uniquifies too (it used to key
+        by raw layer.name, silently overwriting same-named branches)."""
+        from hemx.core import parallel_sum
+
+        net = sequential(dense(4, name="d"), dense(4, name="d"),
+                         dense(4, name="d_1"))
+        params, state, _ = net.init(jax.random.PRNGKey(0), (2, 4))
+        assert len(params) == 3 and "d" in params and "d_1" in params
+        x = jnp.ones((2, 4))
+        y, _ = net.apply(params, state, x, Ctx())
+        assert y.shape == (2, 4)
+        ps = parallel_sum(dense(4, name="b"), dense(4, name="b"))
+        pp, st, _ = ps.init(jax.random.PRNGKey(0), (2, 4))
+        assert len(pp) == 2
+        y2, _ = ps.apply(pp, st, x, Ctx())
+        # two distinct param sets summed — not one branch applied twice
+        w0, w1 = pp["b"]["w"], pp["b_1"]["w"]
+        assert not np.allclose(np.asarray(w0), np.asarray(w1))
+        np.testing.assert_allclose(
+            np.asarray(y2),
+            np.asarray((x @ w0 + pp["b"]["b"]) + (x @ w1 + pp["b_1"]["b"])),
+            rtol=1e-5)
 
     def test_dropout_train_vs_eval(self):
         layer = dropout(0.5)

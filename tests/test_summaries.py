@@ -104,6 +104,43 @@ class TestEvents:
         tags = {v.get("tag") for e in evs for v in e["values"]}
         assert {"weights/w1", "examples/img", "examples/grid"} <= tags
 
+    def test_histogram_image_dedup_by_step(self, tmp_path):
+        """Resumed runs re-emit steps into a new events file; histogram and
+        image readers must dedup by step favoring latest wall time, like
+        the scalar path (they used to return both entries, garbling the
+        percentile fan's steps axis)."""
+        import time
+        from hemx.summaries.reader import (get_histogram_values,
+                                           get_image_values)
+        logdir = str(tmp_path / "train")
+        w1 = EventsWriter(logdir)
+        w1.histogram("w", np.zeros(10), step=5)
+        w1.image("img", np.zeros((4, 4, 3), np.uint8), step=5)
+        w1.close()
+        time.sleep(0.01)
+        w2 = EventsWriter(logdir)  # "resume": second file, same step
+        w2.histogram("w", np.ones(10), step=5)
+        w2.image("img", np.full((4, 4, 3), 255, np.uint8), step=5)
+        w2.close()
+        hs = get_histogram_values(logdir, "w")
+        assert [s for s, _ in hs] == [5]
+        assert hs[0][1]["max"] == pytest.approx(1.0)  # latest wins
+        imgs = get_image_values(logdir, "img")
+        assert [s for s, _ in imgs] == [5]
+
+    def test_all_nan_histogram_is_empty_not_zero(self, tmp_path):
+        """An all-non-finite tensor must write an honest empty histogram
+        (num=0), not fabricate a single healthy-looking 0.0 observation
+        that masks the divergence."""
+        from hemx.summaries.reader import get_histogram_values
+        logdir = str(tmp_path / "train")
+        w = EventsWriter(logdir)
+        w.histogram("diverged", np.full(100, np.nan), step=1)
+        w.close()
+        (step, h), = get_histogram_values(logdir, "diverged")
+        assert step == 1
+        assert h["num"] == 0.0 and h["bucket"] == []
+
     def test_writer_set(self, tmp_path):
         ws = SummaryWriterSet(str(tmp_path))
         for phase in ("train", "validate", "test"):

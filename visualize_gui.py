@@ -25,8 +25,7 @@ import sys
 import urllib.parse
 
 from hemx.summaries.reader import (get_all_events, get_histogram_plot_data,
-                                   get_histogram_tags, get_image_tags,
-                                   get_image_values, get_scalar_tags,
+                                   get_image_values, get_tag_index,
                                    get_tag_values)
 from hemx.train.checkpoint import CheckpointManager
 from hemx.utils.terminal import message
@@ -122,9 +121,10 @@ def run_html(idx: int, run_dir: str) -> str:
              f"<p>checkpoints: <code>{html.escape(str(ckpts))}</code></p>"]
     for phase in PHASES:
         logdir = os.path.join(run_dir, phase)
-        scalars = get_scalar_tags(logdir)
-        histos = get_histogram_tags(logdir)
-        images = get_image_tags(logdir)
+        index = get_tag_index(logdir)  # one parse for all three tag kinds
+        scalars = index["scalars"]
+        histos = index["histograms"]
+        images = index["images"]
         if not (scalars or histos or images):
             continue
         parts.append(f"<h2>{phase}</h2><ul>")
