@@ -97,7 +97,7 @@ class _A:
 
 
 def valid_unet(*, noise_channel: bool = False, garch: str = "small",
-               mean_at_e1: bool = False, extra_input_channels: int = 0,
+               mean_at_e1: bool = False,
                use_batch_norm: bool = False,
                final_activation: Optional[Callable] = jnp.tanh,
                final_filter: int = 5, final_crop: Optional[int] = None,
@@ -105,8 +105,8 @@ def valid_unet(*, noise_channel: bool = False, garch: str = "small",
                name: str = "valid_unet") -> Layer:
     """The sampler/paper generator skeleton.
 
-    Input: NHWC image (+``extra_input_channels`` already concatenated by the
-    caller). Options:
+    Input: NHWC image (extra conditioning channels already concatenated by
+    the caller). Options:
     * ``noise_channel`` — concat a uniform[-1,1] channel before e1
       (sampler_gan.py:171-173);
     * ``garch='large'`` — two extra stride-1 SAME convs per encoder stage
@@ -161,6 +161,12 @@ def valid_unet(*, noise_channel: bool = False, garch: str = "small",
                     p.bn(f"d{i+1}b", cc)
         final_in = 64 + enc_ch[0] + (1 if mean_at_e1 else 0)
         p.conv("final", final_filter, final_in, 1)
+        if use_batch_norm:
+            # the reference's closing conv '7' inherits
+            # use_batch_norm=args.batch_norm_gen from the decoder arg_scope
+            # and hem.conv2d applies BN before the tanh
+            # (sampler_gan.py:186-216; hem/ops/layers.py:125)
+            p.bn("final", 1)
         p.state.setdefault("_", jnp.zeros(()))
         out = final_crop if final_crop else sizes[1]
         return p.params, p.state, (n, out, out, 1)
@@ -197,10 +203,8 @@ def valid_unet(*, noise_channel: bool = False, garch: str = "small",
             if garch == "large":
                 y = a.deconv(f"d{i+1}b", y, (target, target), 1, "SAME",
                              _lrelu02)
-        y = a.conv("final", y, 1, "SAME",
-                   final_activation if final_activation else None, bn=False)
-        if final_activation is None:
-            pass
+        y = a.conv("final", y, 1, "SAME", final_activation,
+                   bn=use_batch_norm)
         if final_crop:
             y = y[:, :final_crop, :final_crop, :]
         return y, a.new_state
@@ -247,10 +251,13 @@ def two_path_disc(*, variant: str = "paper", use_batch_norm: bool = False,
         elif variant == "early":
             p.conv("rgb", k, c_rgb, 64)
             p.conv("depth", k, c_depth, 64)
+            # h3 has activation=None but INHERITS BN from the arg_scope
+            # (sampler_gan.py:238; hem/ops/layers.py:125 applies BN even
+            # with activation=None)
             for nm, cin, cout in [("h1", 128, 256), ("h2", 256, 512),
                                   ("h3", 512, 512)]:
                 p.conv(nm, k, cin, cout)
-                if use_batch_norm and nm != "h3":
+                if use_batch_norm:
                     p.bn(nm, cout)
         elif variant == "late":
             for i, (cin, cout) in enumerate(
@@ -264,9 +271,12 @@ def two_path_disc(*, variant: str = "paper", use_batch_norm: bool = False,
                 if use_batch_norm and i > 0:
                     p.bn(f"hy{i+1}", cout)
             p.conv("ha", k, 1024, 1024)
-            if use_batch_norm:
-                p.bn("ha", 1024)
             p.conv("hb", 1, 1024, 512)
+            if use_batch_norm:
+                # h.a AND the closing h.b inherit BN from the arg_scope
+                # (sampler_gan.py:256-257)
+                p.bn("ha", 1024)
+                p.bn("hb", 512)
         else:
             raise ValueError(f"unknown disc variant {variant}")
         p.state.setdefault("_", jnp.zeros(()))
@@ -292,7 +302,7 @@ def two_path_disc(*, variant: str = "paper", use_batch_norm: bool = False,
             h = jnp.concatenate([rgb, dep], axis=-1)
             h = a.conv("h1", h, 2, "VALID", _lrelu02)
             h = a.conv("h2", h, 2, "VALID", _lrelu02)
-            h = a.conv("h3", h, 2, "VALID", None, bn=False)
+            h = a.conv("h3", h, 2, "VALID", None)  # BN from scope, no act
         else:  # late
             h1 = x
             for i in range(4):
@@ -306,7 +316,7 @@ def two_path_disc(*, variant: str = "paper", use_batch_norm: bool = False,
                             bn=use_batch_norm)
             h = jnp.concatenate([h1, h2], axis=-1)
             h = a.conv("ha", h, 1, "SAME", _lrelu02)
-            h = a.conv("hb", h, 2, "SAME", _lrelu02, bn=False)
+            h = a.conv("hb", h, 2, "SAME", _lrelu02)  # BN from scope
         return h, a.new_state
 
     return Layer(init_fn, apply_fn, name)

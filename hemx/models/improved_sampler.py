@@ -302,23 +302,39 @@ class ImprovedSampler(ConditionalGanBase):
         ts, g_metrics = self._jit_g(ts, batch)
         return ts, {**d_metrics, **g_metrics}
 
+    def batches_per_train_call(self) -> int:
+        """ONE batch per train call (the fused single sess.run above) —
+        overrides ConditionalGanBase's n_disc_train+1 so the device
+        pipeline's gather group matches what train() actually consumes."""
+        return 1
+
     def write_summaries(self, writer, step, ts, batch) -> None:
         super().write_summaries(writer, step, ts, batch)
-        # shuffle / noise diagnostic paths (improved_sampler.py:204-209)
+        # shuffle / noise diagnostic paths (improved_sampler.py:204-209),
+        # one jitted program over the already-device-resident batch (a
+        # host round-trip here would re-upload the full batch per summary
+        # write — this environment's PJRT client leaks H2D, CLAUDE.md)
         import numpy as np
-        rng = jax.random.fold_in(ts["rng"], step)
-        prep = self.prepare({k: jnp.asarray(np.asarray(jax.device_get(v)))
-                             for k, v in batch.items()},
-                            Ctx(training=False, rng=rng))
-        perm = jax.random.permutation(rng, prep["g_input"].shape[0])
-        x_shuf = prep["g_input"][perm]
-        x_noise = jax.random.uniform(rng, prep["g_input"].shape,
-                                     minval=-1.0, maxval=1.0)
-        ctx = Ctx(training=True, rng=rng)
-        g_shuf, _ = self._nets["generator"].apply(
-            ts["params"]["generator"], ts["mstate"]["generator"], x_shuf, ctx)
-        g_noise, _ = self._nets["generator"].apply(
-            ts["params"]["generator"], ts["mstate"]["generator"], x_noise, ctx)
+        if getattr(self, "_jit_diag", None) is None:
+            def diag(ts, batch, step):
+                rng = jax.random.fold_in(ts["rng"], step)
+                prep = self.prepare(batch, Ctx(training=False, rng=rng))
+                perm = jax.random.permutation(rng, prep["g_input"].shape[0])
+                x_shuf = prep["g_input"][perm]
+                x_noise = jax.random.uniform(rng, prep["g_input"].shape,
+                                             minval=-1.0, maxval=1.0)
+                ctx = Ctx(training=True, rng=rng)
+                g_shuf, _ = self._nets["generator"].apply(
+                    ts["params"]["generator"], ts["mstate"]["generator"],
+                    x_shuf, ctx)
+                g_noise, _ = self._nets["generator"].apply(
+                    ts["params"]["generator"], ts["mstate"]["generator"],
+                    x_noise, ctx)
+                return g_shuf, g_noise
+            self._jit_diag = jax.jit(diag)
+        g_shuf, g_noise = self._jit_diag(
+            ts, {k: jnp.asarray(v) for k, v in batch.items()},
+            jnp.asarray(step, jnp.int32))
         from hemx.ops.images import colorize
         n = min(self.args.examples, g_shuf.shape[0])
         g_shuf = np.asarray(jax.device_get((g_shuf + 1) / 2))[:n]

@@ -4,9 +4,8 @@
 hem/models/pix2pix.py:160-230): conv encoder halving spatial dims to 1x1,
 deconv decoder with skip concatenations, optional uniform-noise injection at
 input/latent/end, dropout (keep-prob semantics) on early decoder layers.
-``patchgan`` is the 70x70 patch discriminator (pix2pix.py:232-262).
-``conv_stack`` is the generic strided-conv feature extractor used by the
-sampler/estimator models.
+``patchgan`` is the 70x70 patch discriminator (pix2pix.py:232-262). The
+sampler/estimator models build their nets from ``hemx.models.depth_nets``.
 
 Stage counts derive from the input size (the reference hardcoded 256x256 for
 pix2pix and 64/65 px for the samplers); channel schedules double from
@@ -26,10 +25,6 @@ from hemx.core import Ctx, Layer
 from hemx.ops import initializers
 from hemx.ops.activations import lrelu
 from hemx.ops.layers import batch_norm, conv2d_op, deconv2d_op
-
-
-def _xavier():
-    return initializers.xavier_uniform
 
 
 def normal_init(stddev: float = 0.02):
@@ -103,7 +98,10 @@ def unet(out_channels: int = 1, *, base: int = 64, max_filters: int = 512,
             cur_c = out_c
 
         dec_channels = []
-        cur_c = enc_channels[-1] + (1 if "latent" in noise else 0)
+        # 'latent' noise is a full bottleneck-width channel block (the
+        # reference concats uniform[batch, 512, 1, 1] onto the 512-channel
+        # e8, making d1's input 1024 channels — pix2pix.py:206-208)
+        cur_c = enc_channels[-1] + (enc_channels[-1] if "latent" in noise else 0)
         for i in range(n_down):
             depth_from_end = n_down - 1 - i
             if i == n_down - 1:
@@ -116,14 +114,17 @@ def unet(out_channels: int = 1, *, base: int = 64, max_filters: int = 512,
                                        (filter_size, filter_size, out_c, cur_c))
             params[f"d{i+1}_b"] = init(next(ki), (out_c,))
             sh, sw = sh * 2, sw * 2
+            # the reference's hem.deconv2d applies BN before the activation
+            # on EVERY decoder layer including the final tanh layer '8'
+            # (pix2pix.py:196-228 decoder arg_scope use_batch_norm=True with
+            # no override on '8'; hem/ops/layers.py:200)
+            dec_bn.init(next(ki), (n, sh, sw, out_c), params, state,
+                        f"d{i+1}_bn")
             if i < n_down - 1:
-                dec_bn.init(next(ki), (n, sh, sw, out_c), params, state,
-                            f"d{i+1}_bn")
                 # skip concat doubles channels for the next deconv
                 cur_c = out_c + enc_channels[depth_from_end - 1]
             dec_channels.append(out_c)
         state.setdefault("_", jnp.zeros(()))  # keep state non-empty
-        init_fn._n_down = n_down
         return params, state, (n, h, w, out_channels)
 
     def apply_fn(params, state, x, ctx: Ctx):
@@ -147,9 +148,12 @@ def unet(out_channels: int = 1, *, base: int = 64, max_filters: int = 512,
             h = enc_activation(h)
             skips.append(h)
         if "latent" in noise:
-            z = jax.random.uniform(ctx.next_rng(), (nb, 1, 1, 1),
-                                   minval=-1.0, maxval=1.0)
-            z = jnp.broadcast_to(z, (nb, h.shape[1], h.shape[2], 1))
+            # bottleneck-width independent noise channels (reference:
+            # uniform[batch, 512, 1, 1] at the 1x1 bottleneck,
+            # pix2pix.py:206-208)
+            z = jax.random.uniform(
+                ctx.next_rng(), (nb, h.shape[1], h.shape[2], h.shape[-1]),
+                minval=-1.0, maxval=1.0)
             h = jnp.concatenate([h, z], axis=-1)
         for i in range(n_down):
             depth_from_end = n_down - 1 - i
@@ -162,8 +166,10 @@ def unet(out_channels: int = 1, *, base: int = 64, max_filters: int = 512,
             target = (h.shape[1] * 2, h.shape[2] * 2)
             h = deconv2d_op(h, params[f"d{i+1}_w"], target, 2, "SAME") \
                 + params[f"d{i+1}_b"]
+            # BN before the activation on every decoder layer, including
+            # the final tanh one (reference decoder arg_scope, see init_fn)
+            h = dec_bn.apply(params, state, new_state, f"d{i+1}_bn", h, ctx)
             if not last:
-                h = dec_bn.apply(params, state, new_state, f"d{i+1}_bn", h, ctx)
                 h = dec_activation(h)
                 if dropout_keep > 0 and i < n_dropout_layers and ctx.training:
                     mask = jax.random.bernoulli(ctx.next_rng(), dropout_keep,
@@ -207,8 +213,13 @@ def patchgan(channels: Sequence[int] = (64, 128, 256, 512), *,
         k = len(channels) + 1
         params[f"m{k}_w"] = init(next(ki), (filter_size, filter_size, cur_c, 1))
         params[f"m{k}_b"] = init(next(ki), (1,))
-        state.setdefault("_", jnp.zeros(()))
         sh, sw = -(-sh // 2), -(-sw // 2)
+        # the final logits conv m5 inherits BN from the reference's
+        # arg_scope (only m1 overrides use_batch_norm=False —
+        # pix2pix.py:246-260; hem/ops/layers.py:125 applies BN even with
+        # activation=None)
+        bn.init(next(ki), (n, sh, sw, 1), params, state, f"m{k}_bn")
+        state.setdefault("_", jnp.zeros(()))
         return params, state, (n, sh, sw, 1)
 
     def apply_fn(params, state, x, ctx: Ctx):
@@ -222,6 +233,7 @@ def patchgan(channels: Sequence[int] = (64, 128, 256, 512), *,
             h = activation(h)
         k = len(channels) + 1
         h = conv2d_op(h, params[f"m{k}_w"], 2, "SAME") + params[f"m{k}_b"]
+        h = bn.apply(params, state, new_state, f"m{k}_bn", h, ctx)
         return h, new_state
 
     return Layer(init_fn, apply_fn, name)

@@ -385,7 +385,13 @@ class PaperStandalone(ModelPlugin):
         writer.montage("model/real_depths", colorize(np.clip(y, 0, 1)[:n]), step)
         writer.montage("model/fake_depths", colorize(np.clip(pred, 0, 1)[:n]),
                        step)
-        variants = {"y_hat": pred, "y_0": np.broadcast_to(y_bar, y.shape)}
+        # y_0 baseline predictor: zeros for 'baseline' (y_0 = g_0 =
+        # tf.zeros_like(g), paper_standalone.py:72-76); the mean_* versions
+        # add y_bar (y_0 = g_0 + y_bar), i.e. the per-image-mean predictor
+        version = getattr(self.args, "model_version", "baseline")
+        y0 = (np.zeros_like(y) if version == "baseline"
+              else np.broadcast_to(y_bar, y.shape))
+        variants = {"y_hat": pred, "y_0": y0}
         if self.mean_image is not None:
             variants["y_mean"] = np.broadcast_to(
                 self.mean_image[None, :, :, None], y.shape)

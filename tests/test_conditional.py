@@ -46,6 +46,30 @@ class TestPix2Pix:
         ts, m = model.train(ts, iter([batch, batch]))
         assert np.isfinite(float(jax.device_get(m["g_loss"])))
 
+    def test_final_layer_bn_and_latent_noise_parity(self):
+        """Reference arg_scope quirks (hem/ops/layers.py:125,200 apply BN
+        before the activation on EVERY layer in a use_batch_norm scope):
+        the decoder's final tanh deconv '8' always carries BN
+        (pix2pix.py:196-228), the PatchGAN logits conv m5 carries BN under
+        --batch_norm_disc (pix2pix.py:246-260), and 'latent' noise is a
+        full bottleneck-width channel block (uniform[batch, 512, 1, 1]
+        making d1's input 1024 channels — pix2pix.py:206-208)."""
+        args, mesh, model, ts, batch = _setup(
+            "pix2pix", n_disc_train=1, add_l1=False, l1_lambda=10.0,
+            noise=["latent"], dropout=0, batch_norm_disc=True,
+            batch_norm_gen=False)
+        g_params = ts["params"]["generator"]
+        d_params = ts["params"]["discriminator"]
+        n_down = 5  # 32px input
+        assert f"d{n_down}_bn" in g_params  # final decoder deconv BN
+        assert "m5_bn" in d_params          # logits conv BN
+        # latent noise doubles the bottleneck channels: d1 kernel in-dim
+        # = 512-capped bottleneck width * 2
+        bott = g_params["e5_w"].shape[-1]
+        assert g_params["d1_w"].shape[-1] == 2 * bott
+        ts, m = model.train(ts, iter([batch, batch]))
+        assert np.isfinite(float(jax.device_get(m["g_loss"])))
+
     def test_eval_and_summaries(self, tmp_path):
         args, mesh, model, ts, batch = _setup(
             "pix2pix", n_disc_train=1, add_l1=False, l1_lambda=10.0,
@@ -87,6 +111,23 @@ class TestSamplerGan:
             "sampler_gan", synthetic_shape=[65, 65, 3], batch_size=2,
             garch="large", darch="early", batch_norm_disc=False,
             batch_norm_gen=True, n_disc_train=1)
+        ts, m = model.train(ts, iter([batch, batch]))
+        assert np.isfinite(float(jax.device_get(m["g_loss"])))
+
+    @pytest.mark.parametrize("darch", ["early", "late"])
+    def test_output_layer_bn_parity(self, darch):
+        """The reference's arg_scopes put BN on the generator's closing
+        tanh conv '7' (batch_norm_gen, sampler_gan.py:186-216) and on the
+        discriminator's output convs — 'early' h3 (activation=None but BN
+        from scope, :238) and 'late' h.b (:257); hem/ops/layers.py:125
+        applies BN before/regardless of the activation."""
+        args, mesh, model, ts, batch = _setup(
+            "sampler_gan", synthetic_shape=[65, 65, 3], batch_size=2,
+            garch="small", darch=darch, batch_norm_disc=True,
+            batch_norm_gen=True, n_disc_train=1)
+        assert "final_bn" in ts["params"]["generator"]
+        d_params = ts["params"]["discriminator"]
+        assert ("h3_bn" if darch == "early" else "hb_bn") in d_params
         ts, m = model.train(ts, iter([batch, batch]))
         assert np.isfinite(float(jax.device_get(m["g_loss"])))
 
