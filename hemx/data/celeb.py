@@ -49,11 +49,6 @@ def parse_example(record: bytes) -> dict:
     return {"image": img, "attributes": attrs.astype(np.uint8)}
 
 
-def _batch_transform(batch: dict) -> dict:
-    # uint8 to the device; normalized on-chip (Pallas kernel)
-    return {"image": batch["image"], "attributes": batch["attributes"]}
-
-
 class CelebDataset(DataPlugin):
     name = "celeb"
 
@@ -128,7 +123,7 @@ class CelebDataset(DataPlugin):
         splits = {}
         for split, fname in _OUTPUT_FILES.items():
             src = TFRecordSource([os.path.join(storage, fname)], parse_example)
-            splits[split] = Split(src, batch_transform=_batch_transform,
-                                  name=split,
+            # no host batch_transform -> device-resident-cache eligible
+            splits[split] = Split(src, name=split,
                                   device_transform=u8_image_device_transform())
         return splits

@@ -103,18 +103,21 @@ class CifarDataset(DataPlugin):
         resize = getattr(args, "cifar_resize", 0)
 
         def transform(batch: dict) -> dict:
-            imgs = batch["image"]
-            if resize:
-                imgs = np.stack([resize_bilinear(i, resize, resize) for i in imgs])
-            # uint8 to the device; normalized on-chip (Pallas kernel)
+            imgs = np.stack([resize_bilinear(i, resize, resize)
+                             for i in batch["image"]])
+            # uint8 to the device; normalized on-chip
             return {"image": imgs}
 
+        # only a real --cifar_resize needs a host transform; the default
+        # path keeps batch_transform None so the split stays eligible for
+        # the device-resident cache (DeviceDataPipeline.maybe)
+        bt = transform if resize else None
         splits = {}
         for split, fname in _OUTPUT_FILES.items():
             src = TFRecordSource([os.path.join(storage, fname)], parse_example)
-            splits[split] = Split(src, batch_transform=transform, name=split,
+            splits[split] = Split(src, batch_transform=bt, name=split,
                                   device_transform=u8_image_device_transform())
         splits["validate"] = Split(splits["test"].source,
-                                   batch_transform=transform, name="validate",
+                                   batch_transform=bt, name="validate",
                                    device_transform=u8_image_device_transform())
         return splits

@@ -36,11 +36,6 @@ def parse_example(record: bytes) -> dict:
     return {"image": img}
 
 
-def _batch_transform(batch: dict) -> dict:
-    # uint8 to the device; normalized on-chip (Pallas kernel)
-    return {"image": batch["image"]}
-
-
 class FloorplanDataset(DataPlugin):
     name = "floorplan"
 
@@ -92,7 +87,7 @@ class FloorplanDataset(DataPlugin):
         splits = {}
         for split, fname in _OUTPUT_FILES.items():
             src = TFRecordSource([os.path.join(storage, fname)], parse_example)
-            splits[split] = Split(src, batch_transform=_batch_transform,
-                                  name=split,
+            # no host batch_transform -> device-resident-cache eligible
+            splits[split] = Split(src, name=split,
                                   device_transform=u8_image_device_transform())
         return splits

@@ -49,12 +49,6 @@ def parse_example(record: bytes) -> dict:
     return {"image": img, "label": label}
 
 
-def _batch_transform(batch: dict) -> dict:
-    # images stay uint8 on the host; normalization runs on-device
-    # (hemx.data.pipeline.u8_image_device_transform -> Pallas kernel)
-    return {"image": batch["image"], "label": batch["label"]}
-
-
 class MnistDataset(DataPlugin):
     name = "mnist"
 
@@ -103,11 +97,12 @@ class MnistDataset(DataPlugin):
         for split in ("train", "test"):
             src = TFRecordSource([os.path.join(storage, f"{split}.tfrecords")],
                                  parse_example)
-            splits[split] = Split(src, batch_transform=_batch_transform,
-                                  name=split,
+            # no host batch_transform: uint8 ships as-is and normalizes
+            # on-chip, which keeps the split eligible for the
+            # device-resident cache (DeviceDataPipeline.maybe requires
+            # batch_transform is None)
+            splits[split] = Split(src, name=split,
                                   device_transform=u8_image_device_transform())
-        splits["validate"] = Split(splits["test"].source,
-                                   batch_transform=_batch_transform,
-                                   name="validate",
+        splits["validate"] = Split(splits["test"].source, name="validate",
                                    device_transform=u8_image_device_transform())
         return splits

@@ -75,8 +75,14 @@ class NYUv2Dataset(DataPlugin):
                                        help="With --random_crop, add 2-channel "
                                             "crop-location maps (fraction of W/H)."),
             "--skip_invalid": dict(action="store_true", default=False,
-                                   help="Drop frames with Kinect sensor gaps "
-                                        "(0/65535 depth values)."),
+                                   help="Declared for reference CLI parity "
+                                        "but INERT, exactly like the "
+                                        "reference: sensor-gap frames are "
+                                        "always dropped (the reference "
+                                        "declares --skip_invalid at "
+                                        "nyuv2.py:60 yet applies its "
+                                        "dataset.filter unconditionally at "
+                                        ":266)."),
             "--normalize": dict(action="store_true", default=False,
                                 help="Provide the per-image mean depth as an "
                                      "extra channel."),

@@ -284,9 +284,12 @@ class DeviceDataPipeline:
         # device_transform is shape/structure-preserving by contract).
         batch_sh = batch_shardings(mesh, use)
         cache_key = (tuple(sorted(use)), id(mesh))
-        memo = getattr(split, "_device_arrays", None)
+        # memoized on the SOURCE, not the Split: validate/test splits alias
+        # one source (e.g. mnist), and per-split memoization would place
+        # the same dataset in HBM once per split
+        memo = getattr(split.source, "_device_arrays", None)
         if memo is None:
-            memo = split._device_arrays = {}
+            memo = split.source._device_arrays = {}
         if cache_key not in memo:
             memo[cache_key] = {k: jax.device_put(v, repl)
                                for k, v in use.items()}

@@ -58,8 +58,13 @@ def tfrecord_iterator(path: str, verify: bool = False) -> Iterator[bytes]:
             hcrc = f.read(4)
             record = f.read(length)
             dcrc = f.read(4)
-            if len(record) < length:
-                return
+            if len(hcrc) < 4 or len(record) < length or len(dcrc) < 4:
+                # mid-record EOF = truncated (partially written) file, not
+                # a clean end; silence here would train on a silently
+                # shortened dataset
+                raise IOError(
+                    f"truncated tfrecord file {path}: record of {length} "
+                    f"bytes cut off at EOF")
             if verify:
                 if struct.unpack("<I", hcrc)[0] != masked_crc32c(header):
                     raise IOError(f"corrupt header crc in {path}")
@@ -96,13 +101,19 @@ def count_records(path: str) -> int:
             pass
         return n
     n = 0
+    size = os.path.getsize(path)
     with open(path, "rb") as f:
         while True:
             header = f.read(8)
             if len(header) < 8:
                 break
             (length,) = struct.unpack("<Q", header)
-            f.seek(length + 8, os.SEEK_CUR)
+            end = f.tell() + length + 8
+            if end > size:
+                raise IOError(
+                    f"truncated tfrecord file {path}: record of {length} "
+                    f"bytes cut off at EOF")
+            f.seek(end)
             n += 1
     try:
         with open(cache, "w") as f:

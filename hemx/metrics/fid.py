@@ -81,9 +81,22 @@ def encoder_features(model, ts) -> Callable:
 
     def extract(images):
         ctx = Ctx(training=False, rng=jax.random.PRNGKey(0), capture=True)
-        model._net.apply(ts["params"], ts["mstate"], jnp.asarray(images), ctx)
-        feats = ctx.intermediates.get("latent",
-                                      list(ctx.intermediates.values())[-1])
+        x = jnp.asarray(images)
+        # go through the model's own forward (cnn._forward rescales [0,1]
+        # inputs to the [-1,1] the encoder was trained on); raw _net.apply
+        # would feed a distribution the encoder never saw
+        if hasattr(model, "_forward"):
+            model._forward(ts["params"], ts["mstate"], x, ctx)
+        else:
+            model._net.apply(ts["params"], ts["mstate"], x, ctx)
+        feats = ctx.intermediates.get("latent")
+        if feats is None:
+            named = [k for k in ctx.intermediates if "latent" in k]
+            if not named:
+                raise ValueError(
+                    "encoder_features: no 'latent' intermediate captured; "
+                    f"available: {sorted(ctx.intermediates)}")
+            feats = ctx.intermediates[named[0]]
         f = np.asarray(jax.device_get(feats))
         return f.reshape(f.shape[0], -1)
 

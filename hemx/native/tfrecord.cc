@@ -106,6 +106,9 @@ PyObject* py_read_all_records(PyObject*, PyObject* args) {
   // Read payloads without the GIL, then build Python objects.
   std::vector<std::string> records;
   bool corrupt = false;
+  // EOF mid-record (after a full header) = partially written file; silence
+  // here would train on a silently shortened dataset.
+  bool truncated = false;
   Py_BEGIN_ALLOW_THREADS
   for (;;) {
     uint8_t header[8];
@@ -113,16 +116,19 @@ PyObject* py_read_all_records(PyObject*, PyObject* args) {
     uint64_t len;
     std::memcpy(&len, header, 8);
     uint8_t hcrc[4];
-    if (fread(hcrc, 1, 4, file.f) < 4) break;
+    if (fread(hcrc, 1, 4, file.f) < 4) { truncated = true; break; }
     if (verify) {
       uint32_t expect;
       std::memcpy(&expect, hcrc, 4);
       if (mask_crc(crc32c(header, 8)) != expect) { corrupt = true; break; }
     }
     std::string payload(len, '\0');
-    if (len && fread(&payload[0], 1, len, file.f) < len) break;
+    if (len && fread(&payload[0], 1, len, file.f) < len) {
+      truncated = true;
+      break;
+    }
     uint8_t dcrc[4];
-    if (fread(dcrc, 1, 4, file.f) < 4) break;
+    if (fread(dcrc, 1, 4, file.f) < 4) { truncated = true; break; }
     if (verify) {
       uint32_t expect;
       std::memcpy(&expect, dcrc, 4);
@@ -134,6 +140,10 @@ PyObject* py_read_all_records(PyObject*, PyObject* args) {
   Py_END_ALLOW_THREADS
   if (corrupt) {
     PyErr_Format(PyExc_OSError, "corrupt TFRecord crc in %s", path);
+    return nullptr;
+  }
+  if (truncated) {
+    PyErr_Format(PyExc_OSError, "truncated TFRecord file %s: record cut off at EOF", path);
     return nullptr;
   }
   PyObject* list = PyList_New(static_cast<Py_ssize_t>(records.size()));
@@ -156,16 +166,28 @@ PyObject* py_count_records(PyObject*, PyObject* args) {
     return nullptr;
   }
   long long n = 0;
+  bool truncated = false;
   Py_BEGIN_ALLOW_THREADS
+  // fseek past EOF succeeds, so bound every record against the file size
+  // instead (a truncated trailing record must error, not count).
+  fseek(file.f, 0, SEEK_END);
+  const long long size = ftell(file.f);
+  fseek(file.f, 0, SEEK_SET);
   for (;;) {
     uint8_t header[8];
     if (fread(header, 1, 8, file.f) < 8) break;
     uint64_t len;
     std::memcpy(&len, header, 8);
-    if (fseek(file.f, static_cast<long>(len) + 8, SEEK_CUR) != 0) break;
+    const long long end = ftell(file.f) + static_cast<long long>(len) + 8;
+    if (end > size) { truncated = true; break; }
+    if (fseek(file.f, static_cast<long>(end), SEEK_SET) != 0) break;
     ++n;
   }
   Py_END_ALLOW_THREADS
+  if (truncated) {
+    PyErr_Format(PyExc_OSError, "truncated TFRecord file %s: record cut off at EOF", path);
+    return nullptr;
+  }
   return PyLong_FromLongLong(n);
 }
 

@@ -60,6 +60,20 @@ class TestMnist:
         assert 0.0 <= arr.min() and arr.max() <= 1.0
         _np.testing.assert_allclose(
             arr, batch["image"].astype(_np.float32) / 255.0, atol=1e-6)
+        # device-resident-cache eligible (no host batch_transform — a no-op
+        # repack here silently disabled the default-on cache for every real
+        # image dataset) and the placed arrays are memoized per SOURCE, so
+        # the test/validate alias shares one HBM copy
+        from hemx.data.pipeline import DeviceDataPipeline
+        from hemx.parallel.mesh import make_mesh
+        mesh = make_mesh(0)
+        p_test = DeviceDataPipeline.maybe(splits["test"], 4, mesh=mesh,
+                                          keys=("image",))
+        p_val = DeviceDataPipeline.maybe(splits["validate"], 4, mesh=mesh,
+                                         keys=("image",))
+        assert p_test is not None and p_val is not None
+        for k in p_test.ds:
+            assert p_test.ds[k] is p_val.ds[k]
 
 
 class TestCifar:

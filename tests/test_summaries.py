@@ -230,6 +230,31 @@ class TestNative:
         with pytest.raises(OSError):
             mod.read_all_records(path, True)
 
+    def test_truncated_file_detected_all_paths(self, tmp_path):
+        """EOF mid-record (partially written file) must raise, not be
+        treated as clean EOF — in the native reader/counter AND the
+        pure-python fallbacks (which also used to count the phantom
+        trailing record)."""
+        import hemx.data.tfrecord as T
+        mod = self._native()
+        path = str(tmp_path / "trunc.tfrecords")
+        mod.write_records(path, [b"a" * 100] * 3)
+        full = open(path, "rb").read()
+        open(path, "wb").write(full[:-30])
+        with pytest.raises(OSError, match="[Tt]runcated"):
+            mod.read_all_records(path, False)
+        with pytest.raises(OSError, match="[Tt]runcated"):
+            mod.count_records(path)
+        with pytest.raises(OSError, match="truncated"):
+            list(T.tfrecord_iterator(path))
+        orig = T._native
+        T._native = lambda: None
+        try:
+            with pytest.raises(OSError, match="truncated"):
+                T.count_records(path)
+        finally:
+            T._native = orig
+
 
 class TestMoments:
     def test_moments_summary(self, tmp_path):
