@@ -21,8 +21,12 @@ from hemx.parallel.mesh import make_mesh
 
 def main(argv=None) -> int:
     args = hemx.parse_args(argv, display=True)
-    from hemx.ops.layers import set_default_precision
+    from hemx.ops.layers import set_compute_dtype, set_default_precision
     set_default_precision(getattr(args, "precision", "default"))
+    set_compute_dtype(getattr(args, "dtype", None))
+    if getattr(args, "debug_nans", False):
+        import jax
+        jax.config.update("jax_debug_nans", True)
     hemx.init_working_dir(args)
     mesh = make_mesh(args.n_devices)
     splits = hemx.get_dataset_tensors(args)

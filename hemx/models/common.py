@@ -3,10 +3,10 @@
 Train state is a plain dict pytree (msgpack-serializable):
   {"params": {...}, "mstate": {...}, "opt": {...}, "step": int32, "rng": key}
 
-``step`` increments once per optimizer application — v1 reference semantics
-where a GAN step counts both G and D applies (train.py global_step notes in
-SURVEY.md §7.3); the epoch loop separately tracks one-train-call steps like
-v2. Both counters end up in summaries.
+``step`` increments once per train() call — v2 reference semantics (one
+step = one model.train call, SURVEY.md §7.3): GAN critic substeps keep the
+counter constant and only the generator apply bumps it (hemx/models/
+gan.py:282,319), so summary cadences line up across model families.
 """
 
 from __future__ import annotations

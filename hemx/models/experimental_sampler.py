@@ -88,7 +88,11 @@ class ExperimentalSampler(ImprovedSampler):
         return super().init_state(rng, self._attach_mean(batch))
 
     def write_summaries(self, writer, step, ts, batch) -> None:
-        batch = self._attach_mean(
-            {k: jnp.asarray(np.asarray(jax.device_get(v)))
-             for k, v in batch.items()})
+        # no host round-trip: the summary batch is already device-resident
+        # (train() attaches the mean to device batches the same way, line
+        # 78), and every re-upload leaks host RSS on this PJRT client
+        # (CLAUDE.md) — the same pattern improved_sampler.write_summaries
+        # avoids
+        batch = self._attach_mean({k: jnp.asarray(v)
+                                   for k, v in batch.items()})
         super().write_summaries(writer, step, ts, batch)

@@ -50,22 +50,36 @@ def build_batch(image: np.ndarray, stride: int):
 
 
 def forward_inference(model, ts, patches: np.ndarray, mesh, batch: dict,
-                      chunk: int = 512) -> np.ndarray:
+                      chunk: int = 512,
+                      depth_patches: np.ndarray | None = None) -> np.ndarray:
     """Run patches through the model generator in fixed-size chunks
-    (reference: paper_fullimage.py:112-123)."""
+    (reference: paper_fullimage.py:112-123).
+
+    ``depth_patches`` are the TRUE depth windows sliced at the same coords —
+    the reference fed them per chunk (``y_ph: depth_splits[i]``, :121), so a
+    mean-adjusted model's y_bar is the real per-patch mean, not a constant.
+    Falls back to a flat 0.5 template only when the scene has no depth.
+    """
     n = patches.shape[0]
     pad = (-n) % chunk
     if pad:
         patches = np.concatenate([patches,
                                   np.repeat(patches[-1:], pad, axis=0)])
+    if depth_patches is None:
+        depth_full = np.zeros(
+            (patches.shape[0],) + tuple(batch["depth"].shape[1:]),
+            np.float32) + 0.5
+    else:
+        depth_full = depth_patches.astype(np.float32)
+        if pad:
+            depth_full = np.concatenate(
+                [depth_full, np.repeat(depth_full[-1:], pad, axis=0)])
     outs = []
-    template_depth = np.zeros((chunk,) + tuple(batch["depth"].shape[1:]),
-                              np.float32) + 0.5
     extras = {k: np.repeat(np.asarray(v[:1]), chunk, axis=0)
               for k, v in batch.items() if k not in ("image", "depth")}
     for i in range(0, patches.shape[0], chunk):
         fake_batch = {"image": patches[i:i + chunk],
-                      "depth": template_depth, **extras}
+                      "depth": depth_full[i:i + chunk], **extras}
         g, _ = model._jit_predict(ts, shard_batch(fake_batch, mesh))
         outs.append(np.asarray(jax.device_get(g)))
     return np.concatenate(outs)[:n]
@@ -158,8 +172,11 @@ def main(argv=None) -> int:
                              hemx.WARNING)
                 return 0
             patches, coords = build_batch(image, stride)
+            scene_depth = np.asarray(scenes["depth"][s])
+            depth_patches = np.stack(
+                [scene_depth[t:t + PATCH, l:l + PATCH] for t, l in coords])
             preds = forward_inference(model, ts, patches, mesh, host_batch,
-                                      a.chunk)
+                                      a.chunk, depth_patches=depth_patches)
             recon = reconstruct(image.shape[:2], preds, coords, depth_range)
             valid = ~np.isnan(recon)
             rmse = float(np.sqrt(np.mean(

@@ -42,13 +42,30 @@ def evaluate_split(model, ts, split, args, mesh, mean_image=None,
     accs = {"y_hat": EigenAccumulator(), "y_0": EigenAccumulator()}
     if mean_image is not None:
         accs["y_mean"] = EigenAccumulator()
+    # map predictions/targets back to [0,1] depth units via the model's
+    # declared range — for the paper models (0,10) this is exactly the
+    # reference's /10 (paper_metrics.py:13-15), and non-meter models
+    # ([-1,1]/[0,1]) scale correctly instead of collapsing under a
+    # hardcoded /10
+    lo, hi = (model.depth_range() if hasattr(model, "depth_range")
+              else (0.0, 1.0))
+    scale = lambda v: (np.asarray(v) - lo) / (hi - lo)
+    version = getattr(args, "model_version", None)
     n = 0
     for batch in split.iter_epoch(gb, shuffle=False):
         g, prep = model._jit_predict(ts, place(batch))
-        y = np.asarray(jax.device_get(prep["y"])) / 10.0
-        y_hat = np.asarray(jax.device_get(g)) / 10.0
+        # ONE device_get per batch: each get is a tunnel round trip that
+        # synchronizes the queue (CLAUDE.md)
+        g_host, y_host = jax.device_get((g, prep["y"]))
+        y = scale(y_host)
+        y_hat = scale(g_host)
         y_bar = y.mean(axis=(1, 2, 3), keepdims=True)
-        variants = {"y_hat": y_hat, "y_0": np.broadcast_to(y_bar, y.shape)}
+        # y_0 baseline: zeros for model_version 'baseline' (reference feeds
+        # a zero image: y_0 = g_0 = 0, paper_metrics.py:106-111), the
+        # per-image mean for the mean_* versions (y_0 = 0 + y_bar)
+        y0 = (np.zeros_like(y) if version == "baseline"
+              else np.broadcast_to(y_bar, y.shape))
+        variants = {"y_hat": y_hat, "y_0": y0}
         if mean_image is not None:
             variants["y_mean"] = np.broadcast_to(
                 mean_image[None, :, :, None], y.shape)

@@ -33,7 +33,16 @@ def dataset_depth_moments(splits, args, crop: bool = True):
         if name not in splits:
             continue
         for batch in splits[name].iter_epoch(args.batch_size, shuffle=False):
+            if "depth" not in batch:  # image-only dataset: no depth stats
+                return None, None
             d = batch["depth"]
+            # uint8-shipping pipelines normalize on-device; these host-side
+            # moments must normalize (and widen — (d**2) wraps mod 256 in
+            # uint8) themselves
+            if d.dtype == np.uint8:
+                d = d.astype(np.float32) / 255.0
+            else:
+                d = d.astype(np.float64)
             if crop and d.shape[1] >= 46:
                 d = np.asarray(crop_to_bounding_box(d, 17, 17, 29, 29))
             s = d.sum(axis=0)
@@ -50,8 +59,12 @@ def dataset_depth_moments(splits, args, crop: bool = True):
 
 def main(argv=None) -> int:
     args = hemx.parse_args(argv, display=True)
-    from hemx.ops.layers import set_default_precision
+    from hemx.ops.layers import set_compute_dtype, set_default_precision
     set_default_precision(getattr(args, "precision", "default"))
+    set_compute_dtype(getattr(args, "dtype", None))
+    if getattr(args, "debug_nans", False):
+        import jax
+        jax.config.update("jax_debug_nans", True)
     mesh = make_mesh(args.n_devices)
     splits = hemx.get_dataset_tensors(args)
     model_cls = hemx.get_model(args.model)

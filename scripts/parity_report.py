@@ -322,9 +322,11 @@ def main() -> int:
         "  n_critic=5 fresh batches per generator step (models/gan.py:134-155).",
         "- **IWGAN**: GP λ=10 with the reference's whole-batch norm quirk;",
         "  adam(1e-4, 0.5, 0.9) exactly as examples.org.",
-        "- **Step accounting**: hemx counts one step per optimizer apply",
-        "  (v1 semantics); the reference's GAN row counts G+D applies, which",
-        "  is why its step totals differ from its epoch×batches product.",
+        "- **Step accounting**: hemx's ``step`` increments once per train()",
+        "  call (v2 semantics, one-train-call steps — hemx/models/gan.py:282",
+        "  keeps step constant across critic substeps); the reference's GAN row",
+        "  counts G+D applies, which is why its step totals differ from its",
+        "  epoch×batches product.",
         "",
         "Raw event files for every run live under `workspace/parity/<model>/`",
         "(regenerate: `bash scripts/parity_campaign.sh`, then this script).",

@@ -106,16 +106,37 @@ def visualize_timelapse(run, out_dir: str) -> None:
         hemx.message(f"wrote {len(frames)} timelapse frames to {out_dir}")
 
 
-def _capture_layers(model, ts, batch, mesh):
-    """Per-layer activations via Ctx capture on the model's main net."""
-    x = jnp.asarray(batch["image"])
-    ctx = Ctx(training=False, rng=jax.random.PRNGKey(0), capture=True)
-    if hasattr(model, "_net"):
+def _normalized_image(splits, mesh, batch, model):
+    """The training pipeline normalizes on-device (Split.device_transform);
+    a raw host batch here may be uint8 0-255 — run it through the same
+    placement so captures/bestfit see the distribution the net trained on."""
+    from hemx.data.pipeline import make_place
+    placed = make_place(mesh, splits["train"], keys=model.batch_keys)(batch)
+    return jnp.asarray(placed["image"])
+
+
+def _apply_captured(model, ts, x, ctx):
+    """Run the model's forward with capture, covering every family:
+    _forward (cnn/vae/artist/estimator — handles its own input rescale),
+    bare _net, or the GAN discriminator on [-1,1] inputs."""
+    if hasattr(model, "_forward"):
+        model._forward(ts["params"], ts["mstate"], x, ctx)
+    elif hasattr(model, "_net"):
         model._net.apply(ts["params"], ts["mstate"], x, ctx)
     elif hasattr(model, "_nets") and "discriminator" in getattr(model, "_nets", {}):
         d = model._nets["discriminator"]
         d.apply(ts["params"]["discriminator"], ts["mstate"]["discriminator"],
                 2.0 * (x - 0.5), ctx)
+
+
+def _capture_layers(model, ts, batch, mesh, splits=None):
+    """Per-layer activations via Ctx capture on the model's main net."""
+    if splits is not None:
+        x = _normalized_image(splits, mesh, batch, model)
+    else:
+        x = jnp.asarray(batch["image"])
+    ctx = Ctx(training=False, rng=jax.random.PRNGKey(0), capture=True)
+    _apply_captured(model, ts, x, ctx)
     return {k: v for k, v in ctx.intermediates.items()
             if hasattr(v, "ndim") and v.ndim == 4}
 
@@ -123,7 +144,7 @@ def _capture_layers(model, ts, batch, mesh):
 def visualize_activations(run, out_dir: str) -> None:
     """Filter-response montages per conv layer (reference: visualize.py:88-118)."""
     args, mesh, splits, model, ts, batch, mgr = run
-    layers = _capture_layers(model, ts, batch, mesh)
+    layers = _capture_layers(model, ts, batch, mesh, splits)
     for name, act in layers.items():
         a = np.asarray(jax.device_get(act))[0]          # first example
         a = np.transpose(a, (2, 0, 1))[:, :, :, None]    # filters as images
@@ -167,7 +188,7 @@ def visualize_bestfit(run, out_dir: str, layer: str | None = None,
                       n_filters: int = 16) -> None:
     """Gradient ascent in image space (reference: visualize.py:206-247)."""
     args, mesh, splits, model, ts, batch, mgr = run
-    layers = _capture_layers(model, ts, batch, mesh)
+    layers = _capture_layers(model, ts, batch, mesh, splits)
     if not layers:
         hemx.message("no conv layers to fit", hemx.WARNING)
         return
@@ -176,21 +197,18 @@ def visualize_bestfit(run, out_dir: str, layer: str | None = None,
 
     def act_mean(x, idx):
         ctx = Ctx(training=False, rng=jax.random.PRNGKey(0), capture=True)
-        if hasattr(model, "_net"):
-            model._net.apply(ts["params"], ts["mstate"], x, ctx)
-        else:
-            d = model._nets["discriminator"]
-            d.apply(ts["params"]["discriminator"],
-                    ts["mstate"]["discriminator"], x, ctx)
-        return jnp.mean(ctx.intermediates[layer][..., idx])
+        _apply_captured(model, ts, x, ctx)
+        # idx stays traced (a static idx would recompile the whole
+        # forward+backward once per filter on the tunneled TPU)
+        return jnp.mean(jnp.take(ctx.intermediates[layer], idx, axis=-1))
 
-    grad_fn = jax.jit(jax.grad(act_mean), static_argnums=(1,))
+    grad_fn = jax.jit(jax.grad(act_mean))
     images = []
     n_filters = min(n_filters, int(layers[layer].shape[-1]))
     for idx in range(n_filters):
         x = jax.random.uniform(jax.random.PRNGKey(idx), x_shape) * 0.2 + 0.4
         for i in range(20):
-            g = grad_fn(x, idx)
+            g = grad_fn(x, jnp.asarray(idx))
             g = g / (jnp.sqrt(jnp.mean(g ** 2)) + 1e-8)
             x = x + 0.1 * g
             x = x * (1.0 - 1e-4)            # L2 decay (visualize.py:240)
