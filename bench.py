@@ -77,6 +77,15 @@ def _cnn(args, mesh):
     return get_model("cnn")(margs, mesh), margs
 
 
+def _check_batch(args, mesh) -> None:
+    if args.batch % mesh.devices.size:
+        raise SystemExit(
+            f"--batch {args.batch} is not divisible by {mesh.devices.size} "
+            f"device(s): the model would train on batch "
+            f"{args.batch // mesh.devices.size * mesh.devices.size} while "
+            f"the metric is computed from {args.batch} — pick a multiple")
+
+
 def run_compute(args) -> dict:
     """Compute-only: one device-resident batch streamed forever."""
     import jax
@@ -84,6 +93,7 @@ def run_compute(args) -> dict:
     from hemx.parallel.dp import shard_batch
 
     mesh = make_mesh(0)
+    _check_batch(args, mesh)
     n_chips = mesh.devices.size
     model, margs = _iwgan(args, mesh)
     rng = np.random.default_rng(0)
@@ -178,6 +188,7 @@ def run_e2e(args) -> dict:
     from hemx.summaries import proto
 
     mesh = make_mesh(0)
+    _check_batch(args, mesh)
     n_chips = mesh.devices.size
     if args.model == "cnn":
         model, margs = _cnn(args, mesh)
@@ -221,6 +232,36 @@ def run_e2e(args) -> dict:
     host_batch = next(split.iter_epoch(args.batch, shuffle=False))
     ts = model.init_state(jax.random.PRNGKey(0), host_batch)
 
+    calls_per_epoch = (args.e2e_count // args.batch) // batches_per_call
+
+    # Warm the compile cache on directly-placed batches — NOT on the timed
+    # pipeline: pulling warmup calls from the pipeline stream would (a)
+    # offset the timed "first epoch" into epoch 0/1 with up to depth=2
+    # already-warm prefetched batches in flight, understating the
+    # first-epoch penalty, and (b) make the cache reset below race the
+    # epoch-0 prefetch worker thread.
+    from hemx.data.pipeline import make_place
+    place = make_place(mesh, split, keys=model.batch_keys)
+
+    def warm_stream():
+        e = 0
+        while True:  # tiny datasets may need >1 epoch of warmup batches
+            for b in split.iter_epoch(args.batch, shuffle=False, epoch=e):
+                yield place(b)
+            e += 1
+
+    warm = warm_stream()
+    for _ in range(2):
+        ts, _ = model.train(ts, warm)
+    _barrier(ts)
+    if not args.device_cache:
+        # rebuild the source so the record cache is cold for the timed
+        # epoch 1 (moot for the device cache: its one-time fill already
+        # happened at pipeline construction); no pipeline worker exists
+        # yet — the timed stream below is the first to start one
+        split.source._materialized = None
+        split.source._records = None
+
     def stream():
         e = 0
         while True:
@@ -228,7 +269,6 @@ def run_e2e(args) -> dict:
             e += 1
 
     s = stream()
-    calls_per_epoch = (args.e2e_count // args.batch) // batches_per_call
 
     def one_epoch():
         t0 = time.perf_counter()
@@ -237,17 +277,6 @@ def run_e2e(args) -> dict:
             ts, _ = model.train(ts, s)
         _barrier(ts)
         return time.perf_counter() - t0
-
-    # warm the compile cache so epoch-1 timing is pipeline, not XLA
-    for _ in range(2):
-        ts, _ = model.train(ts, s)
-    _barrier(ts)
-    if not args.device_cache:
-        # rebuild the source so the record cache is cold for the timed
-        # epoch 1 (moot for the device cache: its one-time fill already
-        # happened at pipeline construction)
-        split.source._materialized = None
-        split.source._records = None
 
     first = one_epoch()
     # steady-state = MEDIAN of the remaining epochs: the reference transcript's

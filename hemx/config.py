@@ -207,6 +207,13 @@ def parse_args(argv=None, display: bool = False):
         term.message(f"WARNING: unknown and unused arguments provided: {leftover}",
                      format_style=term.WARNING)
 
+    # record which flags are BooleanOptionalAction (incl. plugin-contributed
+    # ones) so dump_options writes False values in their no- form — a bare
+    # omission would silently re-enable a default-true flag on re-ingest.
+    # Underscore-prefixed: skipped by the dump itself.
+    args._negatable = {a.dest for a in parser._actions
+                       if isinstance(a, argparse.BooleanOptionalAction)}
+
     if args.seed is None:
         args.seed = int.from_bytes(os.urandom(4), "little")
     random.seed(args.seed)
@@ -251,26 +258,32 @@ def init_working_dir(args) -> str:
     os.makedirs(args.dir, exist_ok=True)
     dump_options(args, os.path.join(args.dir, "options.config"))
     with open(os.path.join(args.dir, "options.json"), "w") as f:
-        json.dump({k: _jsonable(v) for k, v in vars(args).items()}, f, indent=2,
-                  sort_keys=True)
+        json.dump({k: _jsonable(v) for k, v in vars(args).items()
+                   if not k.startswith("_")}, f, indent=2, sort_keys=True)
     return args.dir
 
 
 # Default-true booleans with a BooleanOptionalAction --no-<flag> companion:
 # these must be dumped in their negative form when False or the
-# options.config round-trip would silently re-enable them.
+# options.config round-trip would silently re-enable them. parse_args
+# derives the live set from the parser's actions (args._negatable, covers
+# plugin flags too); this hardcoded set is the fallback for namespaces
+# built without parse_args (tests, default_args).
 _NEGATABLE_FLAGS = {"shuffle", "fused_critic_loop", "device_data_cache"}
 
 
 def dump_options(args, path: str) -> None:
+    negatable = getattr(args, "_negatable", _NEGATABLE_FLAGS)
     with open(path, "w") as f:
         f.write("# hemx resolved options (re-ingestable with @thisfile)\n")
         for k in sorted(vars(args)):
+            if k.startswith("_"):  # bookkeeping, not a flag
+                continue
             v = getattr(args, k)
             if isinstance(v, bool):
                 if v:
                     f.write(f"{k}\n")
-                elif k in _NEGATABLE_FLAGS:
+                elif k in negatable:
                     f.write(f"no-{k}\n")
             elif isinstance(v, (list, tuple)):
                 if v:

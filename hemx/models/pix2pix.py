@@ -8,7 +8,10 @@ Parity notes:
 * D: PatchGAN over channel-concat (x, depth): 4 stride-2 convs + 1-channel
   conv producing patch logits; sigmoid folded into the loss
   (pix2pix.py:232-262).
-* losses: sigmoid-xent GAN loss; optional L1 term with weight --lambda=10
+* losses: sigmoid-xent GAN loss; optional L1 term with weight --lambda=10.
+  DEVIATION: hemx honors a non-default --lambda; the reference declared the
+  flag but hardcoded l_term=10.0 (pix2pix.py:286-289 — dead flag), so a
+  reference config with --lambda != 10 trains differently here (correctly)
   computed on [0,1]-rescaled depths; l1 and rmse always reported
   (pix2pix.py:264-310).
 * training: --n_disc_train D steps then one G step, each on a fresh batch

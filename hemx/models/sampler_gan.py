@@ -9,9 +9,11 @@ Parity notes:
   --garch large adds stride-1 refinement convs per stage
   (sampler_gan.py:145-218); xavier init;
 * D (--darch): 'early' = one rgb conv + stride-1 depth conv, concat, conv
-  chain to 1x1x512 logits; 'late' = two full conv paths concat at 1x1 then
-  1x1-conv merge to 512 logits (both apply lrelu to the final 'logits',
-  exactly as the reference does — sampler_gan.py:222-262); normal(0.02) init;
+  chain to 1x1x512 logits (final conv h3 has activation=None — but inherits
+  BN from the scope under --batch_norm_disc); 'late' = two full conv paths
+  concat at 1x1 then 1x1-conv merge to 512 'logits' with the scope's lrelu
+  AND BN applied, exactly as the reference does (sampler_gan.py:222-262);
+  normal(0.02) init;
 * losses: sigmoid-xent; rmse and l1 reported on [0,1]-rescaled depths
   (sampler_gan.py:268-300);
 * train: one D step then one G step per call (sampler_gan.py:137-141).

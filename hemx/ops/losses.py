@@ -11,12 +11,14 @@ def rmse(a, b):
     return jnp.sqrt(jnp.mean((a - b) ** 2))
 
 
-def rmse_scale_invariant(a, b, lam: float = 0.5):
-    """Scale-invariant RMSE in log space, Eigen et al. 2014
-    (reference: hem/ops/losses.py:14-16)."""
-    d = jnp.log(a + 1e-8) - jnp.log(b + 1e-8)
-    n = d.size
-    return jnp.sqrt(jnp.mean(d ** 2) - lam * (jnp.sum(d) ** 2) / (n ** 2))
+def rmse_scale_invariant(x, x_hat):
+    """The reference's (idiosyncratic) scale-invariant RMSE:
+    ``0.5 * (rmse(x, x_hat) + mean(x_hat - x))`` in LINEAR space
+    (hem/ops/losses.py:14-15) — reproduced exactly for API parity. This is
+    NOT Eigen et al.'s log-space formula; the reference's own evaluation
+    used that separately (paper_metrics.py:20-22), which hemx provides as
+    :func:`hemx.metrics.eigen.scale_invariant_log_rmse`."""
+    return 0.5 * (rmse(x, x_hat) + jnp.mean(x_hat - x))
 
 
 def l1_loss(x, y):

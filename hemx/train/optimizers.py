@@ -20,10 +20,18 @@ import optax
 def init_optimizer(args) -> optax.GradientTransformation:
     name = args.optimizer
     if name == "rmsprop":
+        # tf.train.RMSPropOptimizer parity: TF initializes the mean-square
+        # accumulator to ONES (optax defaults to zeros — its initial_scale
+        # exists precisely for TF parity) and uses epsilon=1e-10 (optax
+        # 1e-8). With zeros-init the first step is ~lr*sign(g)/sqrt(1-decay),
+        # visibly changing early training vs the reference transcripts.
         return optax.rmsprop(args.lr, decay=args.decay, momentum=args.momentum,
-                             centered=args.centered)
+                             centered=args.centered, eps=1e-10,
+                             initial_scale=1.0)
     if name == "adadelta":
-        return optax.adadelta(args.lr)
+        # tf.train.AdadeltaOptimizer defaults: rho=0.95, epsilon=1e-8
+        # (optax defaults rho=0.9, eps=1e-6)
+        return optax.adadelta(args.lr, rho=0.95, eps=1e-8)
     if name in ("adagrad", "padagrad"):
         return optax.adagrad(args.lr)
     if name in ("sgd", "pgd"):

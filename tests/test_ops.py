@@ -34,14 +34,15 @@ class TestLosses:
         a = jnp.ones((4, 4)) * 3.0
         assert float(rmse_scale_invariant(a, a)) == pytest.approx(0.0, abs=1e-5)
 
-    def test_rmse_scale_invariant_scaling(self):
-        # scale-invariance: multiplying both by a constant changes nothing;
-        # multiplying one by a constant is partially forgiven vs plain rmse
-        a = jnp.array([[1.0, 2.0], [3.0, 4.0]])
-        si_scaled = float(rmse_scale_invariant(2 * a, a))
-        # lam=0.5: for pure scaling d is constant, penalty = sqrt(c^2 - 0.5 c^2)
-        expected = np.sqrt(0.5) * np.log(2.0)
-        assert si_scaled == pytest.approx(expected, rel=1e-5)
+    def test_rmse_scale_invariant_reference_formula(self):
+        # the reference's linear-space formula 0.5*(rmse + mean(x_hat - x))
+        # (hem/ops/losses.py:14-15), reproduced verbatim — the Eigen
+        # log-space variant lives in hemx.metrics.eigen
+        x = jnp.array([[1.0, 2.0], [3.0, 4.0]])
+        x_hat = 2 * x
+        expected = 0.5 * (float(rmse(x, x_hat)) + float(jnp.mean(x_hat - x)))
+        assert float(rmse_scale_invariant(x, x_hat)) == pytest.approx(
+            expected, rel=1e-6)
 
     def test_gan_losses(self):
         d_real = jnp.array([0.9, 0.8])
@@ -108,6 +109,13 @@ class TestActivations:
         # SELU(0) = 0; for large positive x it's scale*x
         assert float(selu(jnp.array(0.0))) == 0.0
         assert float(selu(jnp.array(10.0))) == pytest.approx(10.507, rel=1e-3)
+
+    def test_selu_grad_finite_at_large_inputs(self):
+        # the where+expm1 double-branch trap: without clamping the negative
+        # branch's input, grad is NaN for x >= ~88.7 in f32 (0 * inf)
+        g = jax.grad(lambda v: selu(v))(jnp.array(120.0))
+        assert np.isfinite(float(g))
+        assert float(g) == pytest.approx(1.0507, rel=1e-3)
 
     def test_value_fraction(self):
         x = jnp.array([0.0, 0.0, 1.0, 2.0])
