@@ -7,7 +7,8 @@ returns per-split sources via ``get_datasets(args)``.
 
 ``get_dataset_tensors`` is the assembly entry (hem/util/data.py:47-87): it
 ensures the dataset is prepared (download -> convert if missing) and returns
-``{split: Split}`` plus record counts. The reference's feedable string-handle
+``{split: Split}`` (each Split knows its own record count via ``.count``).
+The reference's feedable string-handle
 iterator switching is unnecessary in JAX — train/validate/test are just three
 host iterators feeding the same jitted functions.
 """
@@ -87,8 +88,11 @@ def _scan() -> None:
                          f"hemx.data.{modinfo.name}: {e}", term.WARNING)
             continue
         for obj in vars(mod).values():
+            # walk the MRO like the model registry (plugin.py:97): a plugin
+            # deriving from another plugin (the WganModel(GanModel) pattern)
+            # must be discoverable too — direct-base-only silently skipped it
             if (isinstance(obj, type) and obj is not DataPlugin
-                    and DataPlugin in obj.__bases__ and obj.name):
+                    and DataPlugin in obj.__mro__[1:] and obj.name):
                 _REGISTRY[obj.name] = obj
     _SCANNED = True
 

@@ -22,13 +22,19 @@ def fold(fn, arrays, batch_size: int):
     (reference: util.py:339-350 'fold' batched eval). ``arrays`` is a dict of
     equal-length numpy arrays; ``fn(batch_dict) -> float``."""
     n = len(next(iter(arrays.values())))
+    if n < batch_size:
+        raise ValueError(
+            f"fold: {n} rows is smaller than one batch ({batch_size}) — "
+            f"averaging zero batches would silently report 0.0")
     total = 0.0
     count = 0
+    # drop-remainder batching, like the reference's fixed num_batches loop
+    # (util.py:339-350) and the pipeline's batches_per_epoch
     for i in range(0, n - batch_size + 1, batch_size):
         batch = {k: v[i:i + batch_size] for k, v in arrays.items()}
         total += float(fn(batch))
         count += 1
-    return total / max(count, 1)
+    return total / count
 
 
 def visualize_parameters(params) -> str:

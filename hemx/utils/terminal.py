@@ -42,11 +42,14 @@ class MovingAverage:
     (reference: hem/util/misc.py:62-69 update_moving_average)."""
 
     def __init__(self):
-        self.n = 0
         self.totals: dict = {}
+        self.counts: dict = {}
 
     def update(self, values: dict) -> dict:
-        self.n += 1
+        # per-key counts: a metric present only on some update() calls
+        # (conditional sub-phase losses) averages over ITS observations,
+        # not the global call count
         for k, v in values.items():
             self.totals[k] = self.totals.get(k, 0.0) + float(v)
-        return {k: t / self.n for k, t in self.totals.items()}
+            self.counts[k] = self.counts.get(k, 0) + 1
+        return {k: t / self.counts[k] for k, t in self.totals.items()}

@@ -40,8 +40,18 @@ LOSS_TAGS = {
 }
 
 
+_EVENTS_CACHE: dict = {}
+
+
 def series(model, tag, phase="train"):
-    return get_tag_values(os.path.join(W, model, phase), f"losses/{tag}")
+    # one full event-file parse per (model, phase) — the reader's events=
+    # parameter serves every tag from it (a VAE row reads 3 tags x 2 phases)
+    logdir = os.path.join(W, model, phase)
+    if logdir not in _EVENTS_CACHE:
+        from hemx.summaries.reader import get_all_events
+        _EVENTS_CACHE[logdir] = get_all_events(logdir)
+    return get_tag_values(logdir, f"losses/{tag}",
+                          events=_EVENTS_CACHE[logdir])
 
 
 def fmt(v):
@@ -166,7 +176,6 @@ def data_baselines():
 def main() -> int:
     rows = []
     for model in ("cnn", "vae", "gan", "wgan", "iwgan"):
-        run = os.path.join(W, model)
         if not os.path.exists(os.path.join(W, f"{model}.done")):
             rows.append((model, None))
             continue
