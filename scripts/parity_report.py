@@ -322,6 +322,17 @@ def main() -> int:
 
     lines += [
         "",
+        "## Optimizer-parity note",
+        "",
+        "The committed campaign predates the round-3 rmsprop parity fix",
+        "(optax now matches tf.train.RMSPropOptimizer: ones-initialized",
+        "mean-square accumulator, eps 1e-10 — hemx/train/optimizers.py).",
+        "The rmsprop anchors (cnn/vae/gan/wgan) trained under optax's",
+        "zeros-init, whose early steps are LARGER than TF's; all four",
+        "still converged to the table above, and the iwgan anchor (adam)",
+        "is unaffected. A rerun under the TF-parity initializer only",
+        "tightens the early-epoch trajectory comparison.",
+        "",
         "## Semantics checks reproduced from the reference",
         "",
         "- **VAE loss scale**: sum-reduced Bernoulli recon + KL",

@@ -30,6 +30,29 @@ def _train(tmp_path, epochs, seed=11, **overrides):
     return args, result
 
 
+class TestUtils:
+    def test_moving_average_per_key_counts(self):
+        """A metric present on only some update() calls averages over ITS
+        observations (a global call count silently deflated it)."""
+        from hemx.utils.terminal import MovingAverage
+        avg = MovingAverage()
+        avg.update({"a": 1.0})
+        out = avg.update({"a": 1.0, "b": 4.0})
+        assert out["a"] == pytest.approx(1.0)
+        assert out["b"] == pytest.approx(4.0)
+
+    def test_fold_rejects_subbatch_input(self):
+        """fold() raises on fewer rows than one batch instead of silently
+        averaging zero batches to 0.0."""
+        from hemx.utils.misc import fold
+        arrays = {"x": np.arange(10.0)}
+        with pytest.raises(ValueError, match="smaller than one batch"):
+            fold(lambda b: float(b["x"].mean()), arrays, 128)
+        # drop-remainder batching over full batches
+        got = fold(lambda b: float(b["x"].sum()), arrays, 4)
+        assert got == pytest.approx(((0+1+2+3) + (4+5+6+7)) / 2)
+
+
 class TestLoop:
     def test_epoch_train_checkpoint_summaries(self, tmp_path):
         args, result = _train(tmp_path, epochs=2)
