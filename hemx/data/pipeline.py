@@ -161,6 +161,15 @@ def to_grayscale(split: Split, key: str = "image") -> Split:
     (e.g. 1-channel MNIST) pass through untouched, where the reference's
     flag crashed its own hardcoded-3-channel models.
     """
+    # Memoize per ORIGINAL source object: datasets alias sources across
+    # splits (e.g. cifar's validate shares test's source), and both the
+    # host copy and the _device_arrays HBM memo rely on that aliasing —
+    # converting each split independently would double host RAM, run the
+    # conversion twice, and place two identical copies in device memory.
+    memo = getattr(split.source, "_grayscale_source", None)
+    if memo is not None and key in memo:
+        split.source = memo[key]
+        return split
     try:
         arrays = DeviceDataPipeline._source_arrays(split)
     except TypeError:
@@ -176,7 +185,11 @@ def to_grayscale(split: Split, key: str = "image") -> Split:
         luma = np.round(luma).astype(np.uint8)
     else:
         luma = luma.astype(img.dtype)
-    split.source = ArraySource({**arrays, key: luma[..., None]})
+    converted = ArraySource({**arrays, key: luma[..., None]})
+    if memo is None:
+        memo = split.source._grayscale_source = {}
+    memo[key] = converted
+    split.source = converted
     return split
 
 

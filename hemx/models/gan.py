@@ -517,11 +517,21 @@ class GanModel(ModelPlugin):
             then one generator update — as one XLA program. Exactly the same
             step bodies, unrolled; numerics identical to dispatching them
             separately (DP-equality tested)."""
-            d_metrics = {}
+            d_metrics, d_flags = {}, {}
             for b in batches[:-1]:
                 ts, d_metrics = d_step(ts, b)
+                # AND the critic finite-ness flags across substeps — a plain
+                # {**d, **g} merge would let g_step's report overwrite them
+                # and --check_numerics would miss critic NaNs entirely.
+                for k, v in d_metrics.get("grad_finite", {}).items():
+                    d_flags[k] = jnp.logical_and(d_flags[k], v) \
+                        if k in d_flags else v
             ts, g_metrics = g_step(ts, batches[-1])
-            return ts, {**d_metrics, **g_metrics}
+            metrics = {**d_metrics, **g_metrics}
+            if check:
+                metrics["grad_finite"] = {**d_flags,
+                                          **g_metrics["grad_finite"]}
+            return ts, metrics
 
         n_sub = self.args.n_disc_train + 1
         self._jit_fused = jit_step(fused_gan_step, self.mesh)
@@ -553,9 +563,19 @@ class GanModel(ModelPlugin):
         if self._use_fused_loop:
             batches = [next(stream) for _ in range(self.args.n_disc_train + 1)]
             return self._jit_fused_loop(ts, *batches)
+        d_flags = {}
         for _ in range(self.args.n_disc_train):
             ts, d_metrics = self._d_substep(ts, next(stream))
+            # Keep the critic finite-ness flags (AND across substeps) so
+            # --check_numerics sees critic NaNs, not only the g_step report.
+            for k, v in d_metrics.get("grad_finite", {}).items():
+                d_flags[k] = jnp.logical_and(d_flags[k], v) \
+                    if k in d_flags else v
         ts, metrics = self._jit_g(ts, next(stream))
+        if d_flags:
+            metrics = {**metrics,
+                       "grad_finite": {**d_flags,
+                                       **metrics.get("grad_finite", {})}}
         return ts, metrics
 
     def _d_substep(self, ts, batch):

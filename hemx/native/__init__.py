@@ -36,6 +36,15 @@ def load():
     if _cached is not None or _failed:
         return _cached
     try:
+        # pip/wheel installs ship the extension prebuilt by setup.py (as
+        # hemx.data._native, where site-packages has no tfrecord.cc to
+        # compile from); the source-build path below is the dev-repo route.
+        import hemx.data._native as mod
+        _cached = mod
+        return _cached
+    except ImportError:
+        pass
+    try:
         if (not os.path.exists(_SO_PATH)
                 or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC)):
             if not _build():

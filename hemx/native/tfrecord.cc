@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <exception>
 #include <string>
 #include <vector>
 
@@ -106,38 +107,62 @@ PyObject* py_read_all_records(PyObject*, PyObject* args) {
   // Read payloads without the GIL, then build Python objects.
   std::vector<std::string> records;
   bool corrupt = false;
+  bool oom = false;
   // EOF mid-record (after a full header) = partially written file; silence
   // here would train on a silently shortened dataset.
   bool truncated = false;
   Py_BEGIN_ALLOW_THREADS
-  for (;;) {
-    uint8_t header[8];
-    if (fread(header, 1, 8, file.f) < 8) break;
-    uint64_t len;
-    std::memcpy(&len, header, 8);
-    uint8_t hcrc[4];
-    if (fread(hcrc, 1, 4, file.f) < 4) { truncated = true; break; }
-    if (verify) {
-      uint32_t expect;
-      std::memcpy(&expect, hcrc, 4);
-      if (mask_crc(crc32c(header, 8)) != expect) { corrupt = true; break; }
+  // Bound every payload length against the file size BEFORE allocating:
+  // a garbage header (verify defaults off, so its CRC is unchecked) could
+  // otherwise request e.g. 2^60 bytes, and the resulting std::bad_alloc
+  // would escape this no-GIL region with no C++ handler -> std::terminate.
+  fseek(file.f, 0, SEEK_END);
+  const long long fsize = ftell(file.f);
+  fseek(file.f, 0, SEEK_SET);
+  try {
+    for (;;) {
+      uint8_t header[8];
+      if (fread(header, 1, 8, file.f) < 8) break;
+      uint64_t len;
+      std::memcpy(&len, header, 8);
+      uint8_t hcrc[4];
+      if (fread(hcrc, 1, 4, file.f) < 4) { truncated = true; break; }
+      if (verify) {
+        uint32_t expect;
+        std::memcpy(&expect, hcrc, 4);
+        if (mask_crc(crc32c(header, 8)) != expect) { corrupt = true; break; }
+      }
+      const long long pos = ftell(file.f);
+      if (fsize < 0 || pos < 0 ||
+          len > static_cast<uint64_t>(fsize - pos)) {
+        truncated = true;
+        break;
+      }
+      std::string payload(len, '\0');
+      if (len && fread(&payload[0], 1, len, file.f) < len) {
+        truncated = true;
+        break;
+      }
+      uint8_t dcrc[4];
+      if (fread(dcrc, 1, 4, file.f) < 4) { truncated = true; break; }
+      if (verify) {
+        uint32_t expect;
+        std::memcpy(&expect, dcrc, 4);
+        if (mask_crc(crc32c(reinterpret_cast<const uint8_t*>(payload.data()),
+                            len)) != expect) { corrupt = true; break; }
+      }
+      records.push_back(std::move(payload));
     }
-    std::string payload(len, '\0');
-    if (len && fread(&payload[0], 1, len, file.f) < len) {
-      truncated = true;
-      break;
-    }
-    uint8_t dcrc[4];
-    if (fread(dcrc, 1, 4, file.f) < 4) { truncated = true; break; }
-    if (verify) {
-      uint32_t expect;
-      std::memcpy(&expect, dcrc, 4);
-      if (mask_crc(crc32c(reinterpret_cast<const uint8_t*>(payload.data()),
-                          len)) != expect) { corrupt = true; break; }
-    }
-    records.push_back(std::move(payload));
+  } catch (const std::exception&) {
+    // bad_alloc on a legitimately huge file: raise, never terminate.
+    oom = true;
   }
   Py_END_ALLOW_THREADS
+  if (oom) {
+    PyErr_Format(PyExc_MemoryError, "out of memory reading TFRecord %s",
+                 path);
+    return nullptr;
+  }
   if (corrupt) {
     PyErr_Format(PyExc_OSError, "corrupt TFRecord crc in %s", path);
     return nullptr;
@@ -178,8 +203,16 @@ PyObject* py_count_records(PyObject*, PyObject* args) {
     if (fread(header, 1, 8, file.f) < 8) break;
     uint64_t len;
     std::memcpy(&len, header, 8);
-    const long long end = ftell(file.f) + static_cast<long long>(len) + 8;
-    if (end > size) { truncated = true; break; }
+    const long long pos = ftell(file.f);
+    // Compare in unsigned space: a garbage len >= 2^63 would make the
+    // signed end-offset wrap negative and count a partial file as clean.
+    if (size < 0 || pos < 0 ||
+        len > static_cast<uint64_t>(size - pos) ||
+        static_cast<uint64_t>(size - pos) - len < 8) {
+      truncated = true;
+      break;
+    }
+    const long long end = pos + static_cast<long long>(len) + 8;
     if (fseek(file.f, static_cast<long>(end), SEEK_SET) != 0) break;
     ++n;
   }
@@ -218,12 +251,28 @@ PyObject* py_write_records(PyObject*, PyObject* args) {
     uint32_t hcrc = mask_crc(crc32c(header, 8));
     uint32_t dcrc = mask_crc(
         crc32c(reinterpret_cast<const uint8_t*>(data), len));
-    fwrite(header, 1, 8, file.f);
-    fwrite(&hcrc, 1, 4, file.f);
-    fwrite(data, 1, len, file.f);
-    fwrite(&dcrc, 1, 4, file.f);
+    // A short fwrite (ENOSPC, I/O error) must raise, not return success
+    // with a silently truncated dataset on disk.
+    const bool ok =
+        fwrite(header, 1, 8, file.f) == 8 &&
+        fwrite(&hcrc, 1, 4, file.f) == 4 &&
+        (len == 0 ||
+         fwrite(data, 1, static_cast<size_t>(len), file.f) ==
+             static_cast<size_t>(len)) &&
+        fwrite(&dcrc, 1, 4, file.f) == 4;
+    if (!ok) {
+      Py_DECREF(fast);
+      PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+      return nullptr;
+    }
   }
   Py_DECREF(fast);
+  // Flush while we can still report the error (the File destructor's
+  // fclose would swallow it).
+  if (fflush(file.f) != 0 || ferror(file.f)) {
+    PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+    return nullptr;
+  }
   Py_RETURN_NONE;
 }
 

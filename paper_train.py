@@ -66,13 +66,16 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_debug_nans", True)
     mesh = make_mesh(args.n_devices)
-    splits = hemx.get_dataset_tensors(args)
+    # model check before the dataset load (same reasoning as train.py:
+    # the default dataset has no public download, so a bad --model would
+    # die in download() instead of exiting 2 with the available list)
     model_cls = hemx.get_model(args.model)
     if model_cls is None:
         from hemx.models.plugin import available_models
         hemx.message(f"ERROR: unknown model '{args.model}'. "
                      f"Available: {available_models()}", hemx.ERROR)
         return 2
+    splits = hemx.get_dataset_tensors(args)
     model = model_cls(args, mesh)
 
     hemx.init_working_dir(args)

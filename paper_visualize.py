@@ -76,8 +76,11 @@ def main(argv=None) -> int:
 
     n = render_experiment(a.dirs, a.metrics, a.out, a.variant, a.phase)
     if n == 0:
-        message("no metric series found (train the paper_* models first)",
-                "warning")
+        avail = sorted({t for d in a.dirs
+                        for t in find_metric_tags(d, a.phase)})
+        message("no metric series found (train the paper_* models first)"
+                + (f"; available metric tags: {', '.join(avail)}"
+                   if avail else ""), "warning")
         return 1
     message(f"wrote {a.out} ({n} series)")
     return 0

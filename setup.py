@@ -24,6 +24,10 @@ setup(
     description="TPU-native autoencoder/GAN research framework "
                 "(JAX/XLA/Pallas rebuild of hem)",
     packages=find_packages(include=["hemx", "hemx.*"]),
+    # hemx.native.load() prefers the prebuilt hemx.data._native extension
+    # (above); the source is shipped too so the build-on-demand path can
+    # still work where the wheel's extension is absent.
+    package_data={"hemx.native": ["tfrecord.cc"]},
     py_modules=["train", "paper_train", "experimental", "visualize",
                 "paper_metrics", "paper_fullimage", "paper_visualize",
                 "events", "visualize_gui", "bench"],

@@ -519,6 +519,18 @@ class TestGrayscale:
         s2 = Split(mono)
         assert to_grayscale(s2).source is mono
 
+    def test_aliased_splits_share_converted_source(self):
+        """Datasets alias one source across splits (cifar validate/test);
+        the conversion must preserve that aliasing or the per-source
+        _device_arrays HBM memo places the dataset twice and the host
+        holds two identical converted copies."""
+        from hemx.data.pipeline import ArraySource, Split, to_grayscale
+
+        rgb = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+        shared = ArraySource({"image": rgb})
+        a, b = Split(shared), Split(shared)
+        assert to_grayscale(a).source is to_grayscale(b).source
+
     def test_end_to_end_training(self, tmp_path):
         """get_dataset_tensors applies --grayscale; cnn derives 1-channel
         kernels from the data and a full epoch trains."""

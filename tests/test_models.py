@@ -721,6 +721,35 @@ class TestSpatialParallel:
                                        np.asarray(jax.device_get(b)),
                                        rtol=2e-3, atol=2e-5)
 
+    def test_sp_gan_matches_single_device(self):
+        """Vanilla GAN under sp: fused_gan_step is ONE program with both
+        the D-grad and the G-through-D-grad — the composition class the
+        sp workarounds exist for. This asserts the fused dispatch is
+        exact under a spatial mesh (if it ever mis-partitions like the
+        IWGAN GP program, the fix is a per-substep dispatch under sp)."""
+        args8, mesh8, splits, model8, ts8, gb = _setup(
+            "gan", n_devices=0, spatial_parallel=2, batch_size=2,
+            optimizer="sgd", lr=1e-3)
+        args1, mesh1, _, model1, ts1, _ = _setup(
+            "gan", n_devices=1, batch_size=gb, optimizer="sgd", lr=1e-3)
+        host_batch = next(splits["train"].iter_epoch(gb, shuffle=False))
+
+        def once(model, ts, mesh):
+            s = iter([shard_batch(host_batch, mesh)])
+            return model.train(ts, s)
+
+        ts8n, m8 = once(model8, ts8, mesh8)
+        ts1n, m1 = once(model1, ts1, mesh1)
+        for k in ("g_loss", "d_loss"):
+            np.testing.assert_allclose(float(jax.device_get(m8[k])),
+                                       float(jax.device_get(m1[k])),
+                                       rtol=5e-4, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(ts8n["params"]),
+                        jax.tree_util.tree_leaves(ts1n["params"])):
+            np.testing.assert_allclose(np.asarray(jax.device_get(a)),
+                                       np.asarray(jax.device_get(b)),
+                                       rtol=2e-3, atol=2e-5)
+
     def test_sp_vae_matches_single_device(self):
         """VAE under spatial sharding needs NO pins: its sp=2 drift equals
         the plain dp=8 drift to 3 digits (reduction-order noise on the
@@ -820,6 +849,24 @@ class TestCheckNumerics:
         host["grad_finite"]["encoder/c1/w"] = False
         with pytest.raises(FloatingPointError, match="encoder/c1/w"):
             common.raise_on_bad_grads(host)
+
+    @pytest.mark.parametrize("fused", [True, False])
+    def test_wgan_critic_flags_survive_merge(self, fused):
+        """The train-call metrics must carry BOTH critic and generator
+        finite-ness flags: a plain {**d_metrics, **g_metrics} merge let
+        g_step's grad_finite overwrite the critic's, so --check_numerics
+        missed critic NaNs — the most common WGAN failure."""
+        from hemx.models import common
+        args, mesh, splits, model, ts, gb = _setup(
+            "iwgan", batch_size=4, check_numerics=True,
+            fused_critic_loop=fused)
+        stream = _stream(splits, gb, mesh)
+        ts, metrics = model.train(ts, stream)
+        host = common.host_scalars(metrics)
+        flags = host["grad_finite"]
+        assert any(k.startswith("d/") for k in flags), sorted(flags)
+        assert any(k.startswith("g/") for k in flags), sorted(flags)
+        common.raise_on_bad_grads(host)  # finite run: no raise
 
 
 class TestHostSlice:

@@ -255,6 +255,31 @@ class TestNative:
         finally:
             T._native = orig
 
+    def test_garbage_length_header_raises(self, tmp_path):
+        """A corrupt on-disk length (unchecked when verify=0) must raise,
+        not allocate: 2^60 used to std::bad_alloc inside the no-GIL region
+        (-> process abort) and a >=2^63 length wrapped count_records'
+        signed end-offset negative, silently returning a partial count."""
+        mod = self._native()
+        path = str(tmp_path / "garbage.tfrecords")
+        for bad_len in (1 << 60, (1 << 63) + 5):
+            with open(path, "wb") as f:
+                f.write(struct.pack("<Q", bad_len) + b"\x00" * 4 + b"tail")
+            with pytest.raises(OSError, match="[Tt]runcated"):
+                mod.read_all_records(path, False)
+            with pytest.raises(OSError, match="[Tt]runcated"):
+                mod.count_records(path)
+
+    def test_short_write_raises(self, tmp_path):
+        """write_records must report I/O failure (ENOSPC etc.), not return
+        success over a truncated file — exercised via /dev/full where
+        available."""
+        mod = self._native()
+        if not os.path.exists("/dev/full"):
+            pytest.skip("/dev/full unavailable")
+        with pytest.raises(OSError):
+            mod.write_records("/dev/full", [b"x" * 65536] * 64)
+
 
 class TestMoments:
     def test_moments_summary(self, tmp_path):
@@ -549,6 +574,9 @@ class TestWebGuiServer:
         assert self._get(server, "/images?run=0&phase=train")[0] == 404
         assert self._get(
             server, "/image.png?run=0&phase=train&tag=x&step=zz")[0] == 404
+        # an unknown/stale step must 404, not return a 200 empty png body
+        assert self._get(
+            server, "/image.png?run=0&phase=train&tag=x&step=999")[0] == 404
 
     def test_concurrent_chart_renders(self, server):
         """Chart endpoints render via the OO matplotlib API; concurrent

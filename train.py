@@ -32,13 +32,16 @@ def main(argv=None) -> int:
     axes = " x ".join(f"{k}={v}" for k, v in mesh.shape.items())
     hemx.message(f"Mesh: {mesh.devices.size} device(s) "
                  f"({mesh.devices.flat[0].platform}, {axes})")
-    splits = hemx.get_dataset_tensors(args)
+    # validate the model name BEFORE the dataset load: with the default
+    # dataset (floorplan, no public download) a bad --model would otherwise
+    # die in download() instead of exiting 2 with the available list
     model_cls = hemx.get_model(args.model)
     if model_cls is None:
         from hemx.models.plugin import available_models
         hemx.message(f"ERROR: unknown model '{args.model}'. "
                      f"Available: {available_models()}", hemx.ERROR)
         return 2
+    splits = hemx.get_dataset_tensors(args)
     model = model_cls(args, mesh)
     try:
         hemx.train(model, splits, args, mesh)

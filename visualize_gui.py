@@ -78,13 +78,23 @@ def tui(workspace: str) -> int:
             if cmd in ("q", "quit", ""):
                 return 0
             parts = cmd.split()
-            run = runs[int(parts[0])]
-            if len(parts) == 1:
-                describe_run(run)
-            else:
-                phase, tag = parts[1], parts[2]
-                out = parts[3] if len(parts) > 3 else "tag.png"
-                plot_tag(run, phase, tag, out)
+            # a typo must reprint the prompt, not end the session with a
+            # traceback; reject negative run indices like the web handler
+            try:
+                idx = int(parts[0])
+                if not 0 <= idx < len(runs):
+                    raise ValueError(f"run index out of range: {idx}")
+                run = runs[idx]
+                if len(parts) == 1:
+                    describe_run(run)
+                elif len(parts) < 3:
+                    raise ValueError("usage: run# phase tag [out.png]")
+                else:
+                    phase, tag = parts[1], parts[2]
+                    out = parts[3] if len(parts) > 3 else "tag.png"
+                    plot_tag(run, phase, tag, out)
+            except ValueError as e:
+                message(str(e), "warning")
     except (EOFError, KeyboardInterrupt):
         return 0
 
@@ -281,7 +291,9 @@ def serve(workspace: str, port: int) -> int:
                     except ValueError:
                         raise _NotFound("step")
                     png = dict(get_image_values(
-                        os.path.join(d, p), t)).get(step, b"")
+                        os.path.join(d, p), t)).get(step)
+                    if png is None:  # unknown/stale step: 404, not an
+                        raise _NotFound(f"step {step}")  # empty 200 image
                     self._send(png, "image/png")
                 else:
                     self._send(b"not found", "text/plain", 404)
