@@ -8,11 +8,16 @@ initialization.
 """
 
 import os
+import re
 
+# The suite hard-asserts 8-device mesh shapes, so an inherited
+# xla_force_host_platform_device_count with any other value must be
+# REPLACED, not respected (else dozens of tests fail with baffling
+# mesh-shape errors).
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8").strip()
 
 import types
 

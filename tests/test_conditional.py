@@ -285,10 +285,16 @@ class TestDepthRanges:
         declare depth_range (0,10) so paper_fullimage maps reconstructions
         back to dataset units (regression: paper_standalone lacked it and
         scene rmse read 4.7 instead of ~0.05)."""
+        mesh = make_mesh(0)
         for name in ("paper_sampler", "paper_noise", "paper_baseline_sampler",
                      "paper_standalone", "paper_baseline_standalone"):
-            cls = get_model(name)
-            assert cls.depth_range(cls.__new__(cls)) == (0.0, 10.0), name
+            # real construction (not cls.__new__): depth_range must stay
+            # valid on an initialized instance even if a model ever derives
+            # it from construction state
+            model = get_model(name)(make_args(model=name, **_PAPER_ADAM,
+                                              model_version="baseline"),
+                                    mesh)
+            assert model.depth_range() == (0.0, 10.0), name
 
 
 class TestArtist:

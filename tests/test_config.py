@@ -83,6 +83,13 @@ n_disc_train 3
     def test_seed_randomized_when_unset(self, tmp_path):
         a1 = parse_args(["--dataset", "synthetic", "--dir", str(tmp_path)])
         assert a1.seed is not None
+        # actually randomized, not a fixed fallback: two parses must differ
+        # (4-byte entropy -> collision odds ~2^-32; retry once to be safe)
+        a2 = parse_args(["--dataset", "synthetic", "--dir", str(tmp_path)])
+        if a2.seed == a1.seed:
+            a2 = parse_args(["--dataset", "synthetic", "--dir",
+                             str(tmp_path)])
+        assert a2.seed != a1.seed
 
     def test_shuffle_negatable(self, tmp_path):
         a = parse_args(["--dataset", "synthetic", "--dir", str(tmp_path)])

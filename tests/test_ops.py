@@ -45,12 +45,14 @@ class TestLosses:
             expected, rel=1e-6)
 
     def test_gan_losses(self):
-        d_real = jnp.array([0.9, 0.8])
-        d_fake = jnp.array([0.1, 0.2])
+        # asymmetric values: 1-d_fake != d_real, so the two D-loss terms
+        # are distinguishable (a term mix-up/doubling can't cancel out)
+        d_real = jnp.array([0.9, 0.6])
+        d_fake = jnp.array([0.3, 0.2])
         g = float(gan_g_loss(d_fake))
-        assert g == pytest.approx(-np.mean(np.log([0.1, 0.2])), rel=1e-4)
+        assert g == pytest.approx(-np.mean(np.log([0.3, 0.2])), rel=1e-4)
         d = float(gan_d_loss(d_real, d_fake))
-        expected = -np.mean(np.log([0.9, 0.8])) - np.mean(np.log([0.9, 0.8]))
+        expected = -np.mean(np.log([0.9, 0.6])) - np.mean(np.log([0.7, 0.8]))
         assert d == pytest.approx(expected, rel=1e-3)
 
     def test_wgan_losses(self):
@@ -69,14 +71,25 @@ class TestLosses:
         np.testing.assert_allclose(got, want, rtol=1e-4)
 
     def test_vae_losses_sum_reduced(self):
-        x = jnp.full((2, 4), 1.0)
-        x_hat = jnp.full((2, 4), 0.5)
-        # -sum(x log(x_hat)) = -8 log 0.5
-        assert float(bernoulli_recon_loss(x, x_hat)) == pytest.approx(
-            -8 * np.log(0.5), rel=1e-4)
+        # x has values < 1 so the (1-x)log(1-x_hat) complement term is
+        # nonzero (an implementation that drops it must fail here)
+        x = np.array([[1.0, 0.25, 0.5, 0.0], [0.75, 0.0, 1.0, 0.5]])
+        x_hat = np.array([[0.5, 0.9, 0.4, 0.1], [0.2, 0.3, 0.8, 0.6]])
+        want = -np.sum(x * np.log(x_hat) + (1 - x) * np.log(1 - x_hat))
+        assert float(bernoulli_recon_loss(
+            jnp.asarray(x), jnp.asarray(x_hat))) == pytest.approx(
+                want, rel=1e-4)
+        # KL at its zero point (mu=0, sigma=1)...
         zm = jnp.zeros((2, 3))
         zs = jnp.ones((2, 3))
         assert float(kl_gaussian_loss(zm, zs)) == pytest.approx(0.0, abs=1e-5)
+        # ...and away from it: 0.5*sum(mu^2 + s^2 - log s^2 - 1)
+        zm = np.array([[0.5, -1.0, 0.0]])
+        zs = np.array([[1.5, 0.5, 2.0]])
+        want = 0.5 * np.sum(zm**2 + zs**2 - np.log(zs**2) - 1.0)
+        assert float(kl_gaussian_loss(
+            jnp.asarray(zm), jnp.asarray(zs))) == pytest.approx(
+                want, rel=1e-4)
 
     def test_gradient_penalty_linear_critic(self):
         # critic f(x) = sum(2x): grad is 2 everywhere.

@@ -109,16 +109,17 @@ class TestEvents:
         image readers must dedup by step favoring latest wall time, like
         the scalar path (they used to return both entries, garbling the
         percentile fan's steps axis)."""
-        import time
         from hemx.summaries.reader import (get_histogram_values,
                                            get_image_values)
         logdir = str(tmp_path / "train")
-        w1 = EventsWriter(logdir)
+        # explicit suffixes force two FILES: same-second writers otherwise
+        # share one filename (open 'ab') and the cross-file dedup this
+        # test documents would silently never be exercised
+        w1 = EventsWriter(logdir, filename_suffix="a")
         w1.histogram("w", np.zeros(10), step=5)
         w1.image("img", np.zeros((4, 4, 3), np.uint8), step=5)
         w1.close()
-        time.sleep(0.01)
-        w2 = EventsWriter(logdir)  # "resume": second file, same step
+        w2 = EventsWriter(logdir, filename_suffix="b")  # "resume" file
         w2.histogram("w", np.ones(10), step=5)
         w2.image("img", np.full((4, 4, 3), 255, np.uint8), step=5)
         w2.close()
@@ -445,12 +446,7 @@ class TestSampleStatistics:
         """parity_report.sample_statistics derives fake/real pixel mean, std
         and histogram TVD at epoch boundaries from the fakes_hist/real_hist
         summaries (BASELINE.md 'sample-statistics parity')."""
-        import importlib.util
-        spec = importlib.util.spec_from_file_location(
-            "parity_report", os.path.join(
-                os.path.dirname(__file__), "..", "scripts", "parity_report.py"))
-        pr = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(pr)
+        pr = _load_parity_report()
 
         rng = np.random.default_rng(0)
         real = rng.uniform(0.2, 0.8, size=20000).astype(np.float32)
@@ -487,12 +483,7 @@ class TestSampleStatistics:
         tfevents file, fake and real histograms at that step must BOTH come
         from the post-resume file — never a pre-crash fake paired with a
         post-resume real (ADVICE r3)."""
-        import importlib.util
-        spec = importlib.util.spec_from_file_location(
-            "parity_report", os.path.join(
-                os.path.dirname(__file__), "..", "scripts", "parity_report.py"))
-        pr = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(pr)
+        pr = _load_parity_report()
 
         run = tmp_path / "gan" / "train"
         step = 10 * 32
@@ -535,13 +526,16 @@ class TestWebGuiServer:
         w.scalar("losses/loss", 0.25, 2)
         w.histogram("acts/h", np.random.default_rng(0).normal(size=512), 2)
         w.close()
-        port = 6123
-        t = threading.Thread(target=gui.serve, args=(str(ws), port),
-                             daemon=True)
+        # port 0 = ephemeral (a hardcoded port collides across suite runs);
+        # the bound server IS readiness — no sleep race — and teardown
+        # shuts it down instead of leaking a daemon thread
+        httpd, _ = gui.make_server(str(ws), 0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
-        import time
-        time.sleep(1.0)
-        return port
+        yield httpd.server_address[1]
+        httpd.shutdown()
+        httpd.server_close()
+        t.join(timeout=10)
 
     def _get(self, port, path):
         import urllib.request, urllib.error

@@ -220,7 +220,10 @@ class _NotFound(Exception):
     """Raised by handlers for bad run indices -> 404 (not 500)."""
 
 
-def serve(workspace: str, port: int) -> int:
+def make_server(workspace: str, port: int):
+    """Build the web-GUI HTTP server without starting it (port 0 binds an
+    ephemeral port — read it back from server_address; lets tests run and
+    shut the server down deterministically)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     runs = discover_runs(workspace)
@@ -302,9 +305,13 @@ def serve(workspace: str, port: int) -> int:
             except Exception as e:  # one bad request must not kill the server
                 self._send(f"error: {e}".encode(), "text/plain", 500)
 
-    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
-    message(f"serving {len(runs)} runs at http://127.0.0.1:{port}/ "
-            "(ctrl-c to stop)")
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler), len(runs)
+
+
+def serve(workspace: str, port: int) -> int:
+    httpd, n_runs = make_server(workspace, port)
+    message(f"serving {n_runs} runs at "
+            f"http://127.0.0.1:{httpd.server_address[1]}/ (ctrl-c to stop)")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
