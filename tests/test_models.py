@@ -456,6 +456,62 @@ class TestDataParallel:
                                        np.asarray(jax.device_get(b)),
                                        rtol=2e-3, atol=2e-5)
 
+    def test_dp_artist_matches_single_device(self):
+        """artist: two optimizers training DISJOINT variable sets from two
+        different batches (x step must not touch the encoder) — the one
+        multi-optimizer partition pattern not covered by the GAN tests.
+        8-device DP equals single device under sgd."""
+        args8, mesh8, splits, model8, ts8, gb = _setup(
+            "artist", batch_size=2, optimizer="sgd", lr=1e-3,
+            synthetic_shape=[65, 65, 3])
+        args1, mesh1, _, model1, ts1, _ = _setup(
+            "artist", n_devices=1, batch_size=gb, optimizer="sgd",
+            lr=1e-3, synthetic_shape=[65, 65, 3])
+        host_batches = list(splits["train"].iter_epoch(gb, shuffle=False))[:2]
+
+        def once(model, ts, mesh):
+            s = iter([shard_batch(b, mesh) for b in host_batches])
+            return model.train(ts, s)
+
+        ts8n, m8 = once(model8, ts8, mesh8)
+        ts1n, m1 = once(model1, ts1, mesh1)
+        for k in ("x_loss", "y_loss"):
+            np.testing.assert_allclose(float(jax.device_get(m8[k])),
+                                       float(jax.device_get(m1[k])),
+                                       rtol=5e-4, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(ts8n["params"]),
+                        jax.tree_util.tree_leaves(ts1n["params"])):
+            np.testing.assert_allclose(np.asarray(jax.device_get(a)),
+                                       np.asarray(jax.device_get(b)),
+                                       rtol=2e-3, atol=2e-5)
+
+    def test_dp_info_gan_matches_single_device(self):
+        """info_gan: three optimizers (D, G, and Q's mutual-information
+        step updating predictor+generator jointly) over three batches;
+        8-device DP equals single device under sgd."""
+        args8, mesh8, splits, model8, ts8, gb = _setup(
+            "info_gan", batch_size=2, optimizer="sgd", lr=1e-3)
+        args1, mesh1, _, model1, ts1, _ = _setup(
+            "info_gan", n_devices=1, batch_size=gb, optimizer="sgd",
+            lr=1e-3)
+        host_batches = list(splits["train"].iter_epoch(gb, shuffle=False))[:3]
+
+        def once(model, ts, mesh):
+            s = iter([shard_batch(b, mesh) for b in host_batches])
+            return model.train(ts, s)
+
+        ts8n, m8 = once(model8, ts8, mesh8)
+        ts1n, m1 = once(model1, ts1, mesh1)
+        for k in ("g_loss", "d_loss", "q_loss"):
+            np.testing.assert_allclose(float(jax.device_get(m8[k])),
+                                       float(jax.device_get(m1[k])),
+                                       rtol=5e-4, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(ts8n["params"]),
+                        jax.tree_util.tree_leaves(ts1n["params"])):
+            np.testing.assert_allclose(np.asarray(jax.device_get(a)),
+                                       np.asarray(jax.device_get(b)),
+                                       rtol=2e-3, atol=2e-5)
+
     def test_dp_conditional_matches_single_device(self):
         """ConditionalGanBase (pix2pix, deterministic config): 8-device DP
         equals single device for one full D+G train() call."""
