@@ -859,6 +859,47 @@ class TestSpatialParallel:
         for leaf in jax.tree_util.tree_leaves(res["train_state"]["params"]):
             assert np.isfinite(np.asarray(jax.device_get(leaf))).all()
 
+    def test_sp_paper_standalone_matches_single_device(self):
+        """paper_standalone is the one image-consuming model NOT routed
+        through ConditionalGanBase (no discriminator, single supervised
+        grad program) — if its encoder backward mis-partitions under
+        spatial sharding like the conditional family's did, this catches
+        it."""
+        import optax
+
+        def setup(n_devices, spatial, batch_size):
+            kw = dict(batch_size=batch_size, synthetic_shape=[65, 65, 3],
+                      g_lr=1e-4, g_beta1=0.5, g_beta2=0.999,
+                      model_version="mean_adjusted")
+            args = make_args(model="paper_standalone", **kw)
+            mesh = make_mesh(n_devices, spatial=spatial)
+            splits = SyntheticDataset.get_datasets(args)
+            model = get_model("paper_standalone")(args, mesh)
+            model.optimizer = optax.sgd(1e-3)
+            gb = args.batch_size * (mesh.devices.size // spatial)
+            host = next(splits["train"].iter_epoch(gb, shuffle=False))
+            ts = model.init_state(jax.random.PRNGKey(0), host)
+            return splits, model, ts, mesh, gb
+
+        splits, model8, ts8, mesh8, gb = setup(0, 2, 2)
+        _, model1, ts1, mesh1, _ = setup(1, 1, gb)
+        host_batch = next(splits["train"].iter_epoch(gb, shuffle=False))
+
+        def once(model, ts, mesh):
+            s = iter([shard_batch(host_batch, mesh)])
+            return model.train(ts, s)
+
+        ts8n, m8 = once(model8, ts8, mesh8)
+        ts1n, m1 = once(model1, ts1, mesh1)
+        np.testing.assert_allclose(float(jax.device_get(m8["rmse"])),
+                                   float(jax.device_get(m1["rmse"])),
+                                   rtol=5e-4, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(ts8n["params"]),
+                        jax.tree_util.tree_leaves(ts1n["params"])):
+            np.testing.assert_allclose(np.asarray(jax.device_get(a)),
+                                       np.asarray(jax.device_get(b)),
+                                       rtol=2e-3, atol=2e-5)
+
     def test_sp_pix2pix_matches_single_device(self):
         """Conditional family on a spatial mesh: G consumes the IMAGE, so
         spatial sharding would flow through its encoder-deconv backward,
