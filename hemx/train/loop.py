@@ -162,6 +162,7 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
             iterator = tqdm(iterator, desc=f"Epoch {epoch + 1:3d}", unit="batch",
                             leave=False)
         avg = MovingAverage()
+        shown = {}  # previously displayed values for the +/-/~ markers
         # --summary_freq overrides the reference cadence (10x/epoch for the
         # first 3 epochs, then 3x/epoch — hem/util/training.py:143-150)
         per_epoch = (args.summary_freq if getattr(args, "summary_freq", 0)
@@ -202,8 +203,10 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
                 running = avg.update({k: v for k, v in host.items()
                                       if k != "grad_finite"})
                 if tqdm is not None:
-                    iterator.set_postfix({k: f"{v:.4g}"
-                                          for k, v in running.items()})
+                    # v1 postfix UX: each loss carries +/-/~ vs the last
+                    # display (reference util.py:196-212)
+                    iterator.set_postfix(term.delta_postfix(running, shown))
+                    shown = dict(running)
             if i % cadence == 0:
                 write_train_summary(host_step, host)
 

@@ -53,3 +53,18 @@ class MovingAverage:
             self.totals[k] = self.totals.get(k, 0.0) + float(v)
             self.counts[k] = self.counts.get(k, 0) + 1
         return {k: t / self.counts[k] for k, t in self.totals.items()}
+
+
+def delta_postfix(values: dict, prev: dict) -> dict:
+    """Render loss values with the v1 +/-/~ rose/fell/flat marker vs the
+    previously displayed values (reference: util.py:196-212
+    format_for_terminal; first display has no marker)."""
+    out = {}
+    for k, v in values.items():
+        if k not in prev:
+            out[k] = f"{v:.4g}"
+            continue
+        diff = float(v) - float(prev[k])
+        sym = "+" if diff > 0 else "-" if diff < 0 else "~"
+        out[k] = f"{v:.4g}({sym})"
+    return out

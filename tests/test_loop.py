@@ -41,6 +41,21 @@ class TestUtils:
         assert out["a"] == pytest.approx(1.0)
         assert out["b"] == pytest.approx(4.0)
 
+    def test_delta_postfix_markers(self):
+        """tqdm loss postfix carries the v1 +/-/~ rose/fell/flat marker vs
+        the last displayed values (reference util.py:196-212); the first
+        display (and first appearance of a key) has no marker."""
+        from hemx.utils.terminal import delta_postfix
+        first = delta_postfix({"loss": 0.5}, {})
+        assert first == {"loss": "0.5"}
+        out = delta_postfix({"loss": 0.25, "g": 1.0}, {"loss": 0.5})
+        assert out["loss"] == "0.25(-)"
+        assert out["g"] == "1"  # new key: no marker
+        out = delta_postfix({"loss": 0.3}, {"loss": 0.25})
+        assert out["loss"] == "0.3(+)"
+        out = delta_postfix({"loss": 0.3}, {"loss": 0.3})
+        assert out["loss"] == "0.3(~)"
+
     def test_fold_rejects_subbatch_input(self):
         """fold() raises on fewer rows than one batch instead of silently
         averaging zero batches to 0.0."""
