@@ -148,6 +148,12 @@ def build_base_parser() -> CustomArgumentParser:
                            "deterministic-order runs).")
     data.add_argument("--buffer_size", type=int, default=10000,
                       help="Shuffle buffer size (reference: data.py:49).")
+    data.add_argument("--resize", type=int, nargs=2, default=None,
+                      metavar=("H", "W"),
+                      help="Resize input images at the input layer for any "
+                           "dataset (reference: train.py:162-166,226-228 — "
+                           "TF1-bilinear semantics; nyuv2's plugin arg of "
+                           "the same name takes precedence there).")
     data.add_argument("--grayscale", action="store_true", default=False,
                       help="Convert RGB input images to single-channel luma "
                            "(reference: train.py:175-178,229-231 — there it "

@@ -193,6 +193,69 @@ def to_grayscale(split: Split, key: str = "image") -> Split:
     return split
 
 
+def _tf1_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """TF1 `tf.image.resize_images` default bilinear (align_corners=False):
+    src coordinate = dst index * (in/out) — NO half-pixel offset (the
+    TF1 corner convention the reference ran under) — with edge clamp."""
+    n, ih, iw, c = img.shape
+    ys = np.arange(h, dtype=np.float64) * (ih / h)
+    xs = np.arange(w, dtype=np.float64) * (iw / w)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, ih - 1)
+    x1 = np.minimum(x0 + 1, iw - 1)
+    wy = (ys - y0).astype(np.float32)[None, :, None, None]
+    wx = (xs - x0).astype(np.float32)[None, None, :, None]
+    f = img.astype(np.float32)
+    r0 = f[:, y0]
+    r1 = f[:, y1]
+    top = r0[:, :, x0] * (1 - wx) + r0[:, :, x1] * wx
+    bot = r1[:, :, x0] * (1 - wx) + r1[:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def resize_images(split: Split, size, key: str = "image") -> Split:
+    """``--resize H W``: resize a split's images at the input layer for ANY
+    dataset (reference: train.py:162-166,226-228 tf.image.resize_images on
+    the pipeline tensor; its help text says 'w x h' but the value is passed
+    straight to resize_images, whose size is [height, width] — the actual
+    behavior, reproduced here).
+
+    One-time conversion of the materialized compact arrays (the model then
+    inits at the resized shape and the split stays device-cache eligible),
+    memoized per original source like to_grayscale so aliased splits share
+    one converted copy. uint8 sources stay uint8 (rounded), matching the
+    --grayscale deviation note.
+    """
+    h, w = int(size[0]), int(size[1])
+    memo = getattr(split.source, "_resize_source", None)
+    if memo is not None and (key, h, w) in memo:
+        split.source = memo[(key, h, w)]
+        return split
+    try:
+        arrays = DeviceDataPipeline._source_arrays(split)
+    except TypeError:
+        raise ValueError(
+            f"--resize: split '{split.name}' has no in-memory image "
+            f"arrays to convert") from None
+    img = arrays.get(key)
+    if img is None or img.ndim != 4:
+        return split
+    if img.shape[1:3] == (h, w):  # already at target (e.g. the nyuv2
+        return split              # plugin consumed --resize in its parse)
+    out = _tf1_bilinear(img, h, w)
+    if img.dtype == np.uint8:
+        out = np.round(np.clip(out, 0, 255)).astype(np.uint8)
+    else:
+        out = out.astype(img.dtype)
+    converted = ArraySource({**arrays, key: out})
+    if memo is None:
+        memo = split.source._resize_source = {}
+    memo[(key, h, w)] = converted
+    split.source = converted
+    return split
+
+
 def u8_image_device_transform(keys=("image",), lo: float = 0.0,
                               hi: float = 1.0):
     """Standard device transform: uint8 image channels -> float [lo, hi]

@@ -128,6 +128,10 @@ def get_dataset_tensors(args) -> dict:
         term.message(f"Converting '{cls.name}' to TFRecord...")
         cls.convert_to_tfrecord(args.raw_dataset_dir, storage)
     splits = cls.get_datasets(args)
+    # reference input-layer order: resize, then grayscale (train.py:226-231)
+    if getattr(args, "resize", None):
+        from hemx.data.pipeline import resize_images
+        splits = {k: resize_images(v, args.resize) for k, v in splits.items()}
     if getattr(args, "grayscale", False):
         from hemx.data.pipeline import to_grayscale
         splits = {k: to_grayscale(v) for k, v in splits.items()}

@@ -531,6 +531,71 @@ class TestGrayscale:
         a, b = Split(shared), Split(shared)
         assert to_grayscale(a).source is to_grayscale(b).source
 
+
+class TestResize:
+    """--resize H W at the input layer for any dataset (reference:
+    train.py:162-166,226-228 tf.image.resize_images, TF1 bilinear
+    align_corners=False: src = dst * in/out, no half-pixel offset)."""
+
+    def test_tf1_bilinear_golden(self):
+        from hemx.data.pipeline import _tf1_bilinear
+
+        img = np.array([[1.0, 2.0], [3.0, 4.0]],
+                       np.float32).reshape(1, 2, 2, 1)
+        out = _tf1_bilinear(img, 4, 4)[0, :, :, 0]
+        # TF1 corner convention: src=[0,.5,1,1.5] with edge clamp
+        want = np.array([[1.0, 1.5, 2.0, 2.0],
+                         [2.0, 2.5, 3.0, 3.0],
+                         [3.0, 3.5, 4.0, 4.0],
+                         [3.0, 3.5, 4.0, 4.0]], np.float32)
+        np.testing.assert_allclose(out, want, rtol=1e-6)
+
+    def test_split_resize_dtype_and_aliasing(self):
+        from hemx.data.pipeline import ArraySource, Split, resize_images
+
+        rng = np.random.default_rng(0)
+        u8 = rng.integers(0, 256, (3, 8, 8, 3), np.uint8)
+        shared = ArraySource({"image": u8})
+        a, b = Split(shared), Split(shared)
+        ra = resize_images(a, (4, 6))
+        assert ra.source.arrays["image"].shape == (3, 4, 6, 3)
+        assert ra.source.arrays["image"].dtype == np.uint8
+        # aliased splits share the converted source; same-size is identity
+        assert resize_images(b, (4, 6)).source is ra.source
+        same = Split(ArraySource({"image": u8}))
+        assert resize_images(same, (8, 8)).source.arrays["image"] is u8
+
+    def test_end_to_end_training(self, tmp_path):
+        """get_dataset_tensors applies --resize (before --grayscale, the
+        reference order); cnn inits at the resized shape and trains."""
+        import hemx
+        from hemx.models.plugin import get_model
+        from hemx.parallel.mesh import make_mesh
+
+        args = make_args(model="cnn", batch_size=2, epochs="1",
+                         dir=str(tmp_path), synthetic_count=32,
+                         synthetic_u8=True, synthetic_shape=[32, 32, 3],
+                         resize=[16, 16], grayscale=True, latent_size=8)
+        splits = hemx.get_dataset_tensors(args)
+        batch = next(splits["train"].iter_epoch(16, shuffle=False))
+        assert batch["image"].shape[1:] == (16, 16, 1)
+        mesh = make_mesh(0)
+        model = get_model("cnn")(args, mesh)
+        result = hemx.train(model, splits, args, mesh)
+        assert result["epoch"] == 1
+
+    def test_flag_parses_and_nyuv2_override_wins(self, tmp_path):
+        """The base --resize parses for any dataset; for nyuv2 the plugin's
+        own --resize definition takes precedence (conflict_handler=
+        resolve), matching the reference's split ownership."""
+        from hemx.config import parse_args
+        a = parse_args(["--dataset", "synthetic", "--resize", "16", "16",
+                        "--dir", str(tmp_path)])
+        assert a.resize == [16, 16]
+        a = parse_args(["--dataset", "nyuv2", "--resize", "20", "24",
+                        "--dir", str(tmp_path)])
+        assert a.resize == [20, 24]
+
     def test_end_to_end_training(self, tmp_path):
         """get_dataset_tensors applies --grayscale; cnn derives 1-channel
         kernels from the data and a full epoch trains."""
