@@ -405,6 +405,9 @@ def main() -> None:
     parser.add_argument("--latent", type=int, default=200)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--deconv_impl", default="dilated",
+                        choices=["dilated", "phase_split"],
+                        help="Transposed-conv lowering (see PERF.md).")
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="bf16 activations with f32 master params is the "
@@ -443,8 +446,9 @@ def main() -> None:
     parser.add_argument("--fid_samples", type=int, default=4096)
     args = parser.parse_args()
 
-    from hemx.ops.layers import set_compute_dtype
+    from hemx.ops.layers import set_compute_dtype, set_deconv_impl
     set_compute_dtype(args.dtype)
+    set_deconv_impl(args.deconv_impl)
 
     if args.fid:
         assert args.dir, "--fid requires --dir <trained GAN run>"

@@ -129,6 +129,12 @@ def build_base_parser() -> CustomArgumentParser:
                        help="MXU precision: 'default' = bf16 inputs with f32 "
                             "accumulation (TPU-native, fast); 'highest' = "
                             "full f32 for strict reference parity.")
+    train.add_argument("--deconv_impl", type=str.lower, default="dilated",
+                       choices=["dilated", "phase_split"],
+                       help="Transposed-conv lowering: 'dilated' = textbook "
+                            "lhs-dilated conv; 'phase_split' = same values "
+                            "as s^2 dense convs + interleave (skips the "
+                            "MXU's zero-stuffed multiplies; see PERF.md).")
 
     opt = parser.add_argument_group("Optimizer")
     opt.add_argument("--optimizer", type=str.lower, default="rmsprop")

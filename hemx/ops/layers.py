@@ -99,6 +99,28 @@ def conv2d_op(x, kernel, stride: int = 1, padding: str = "SAME"):
     )
 
 
+# Transposed-conv lowering strategy. 'dilated' is the textbook transpose
+# (lhs-dilated conv — zero-stuffed input); 'phase_split' computes the same
+# values as s^2 dense stride-1 convs over the *undilated* input (one per
+# output phase) followed by an interleave — on the MXU the dilated form
+# multiplies (s^2-1)/s^2 zeros, so phase-split does s^2x fewer real MACs.
+# Both paths sum exactly the same nonzero products per output element;
+# selection via set_deconv_impl / --deconv_impl (measured on the real chip,
+# see PERF.md "Transposed-conv lowering").
+_DECONV_IMPL = "dilated"
+
+
+def set_deconv_impl(name: str) -> None:
+    global _DECONV_IMPL
+    if name not in ("dilated", "phase_split"):
+        raise ValueError(f"unknown deconv impl '{name}'")
+    _DECONV_IMPL = name
+
+
+def get_deconv_impl() -> str:
+    return _DECONV_IMPL
+
+
 def deconv2d_op(x, kernel, out_hw: Tuple[int, int], stride: int = 2,
                 padding: str = "SAME"):
     """Transposed conv matching tf.nn.conv2d_transpose.
@@ -142,17 +164,76 @@ def deconv2d_op(x, kernel, out_hw: Tuple[int, int], stride: int = 2,
     k = jnp.flip(kernel, (0, 1))            # [H, W, out, in]
     # contracting over in_ch and producing out_ch -> HWIO = [H, W, in, out]
     k = jnp.transpose(k, (0, 1, 3, 2))
-    y = lax.conv_general_dilated(
-        x, k,
-        window_strides=(1, 1),
-        padding=((kh - 1 - lo_h, kh - 1 - hi_h), (kw - 1 - lo_w, kw - 1 - hi_w)),
-        lhs_dilation=(stride, stride),
-        dimension_numbers=_CONV_DIMS,
-        precision=_PRECISION,
-    )
+    if _DECONV_IMPL == "phase_split" and stride > 1:
+        y = _deconv_phase_split(x, k, stride,
+                                (kh - 1 - lo_h, kw - 1 - lo_w),
+                                (oh - extra_h, ow - extra_w))
+    else:
+        y = lax.conv_general_dilated(
+            x, k,
+            window_strides=(1, 1),
+            padding=((kh - 1 - lo_h, kh - 1 - hi_h),
+                     (kw - 1 - lo_w, kw - 1 - hi_w)),
+            lhs_dilation=(stride, stride),
+            dimension_numbers=_CONV_DIMS,
+            precision=_PRECISION,
+        )
     if extra_h or extra_w:
         y = jnp.pad(y, ((0, 0), (0, extra_h), (0, extra_w), (0, 0)))
     return y
+
+
+def _deconv_phase_split(x, k, s: int, pad_lo: Tuple[int, int],
+                        out_hw: Tuple[int, int]):
+    """Transposed conv as ``s^2`` dense stride-1 convs + phase interleave.
+
+    ``k`` is the flipped HWIO kernel of the equivalent dilated-conv form and
+    ``pad_lo`` its top/left padding in dilated space; this computes exactly
+    the sums the dilated conv computes (every nonzero tap, nothing else),
+    without materializing the zero-stuffed input — output row ``p`` only
+    receives kernel taps ``q`` with ``(p + q - pad_lo) % s == 0``, so each
+    output phase ``a = p % s`` is a dense conv of the raw input with the
+    kernel slice ``k[(pad_lo - a) % s :: s]``.
+    """
+    n, h, w, _ = x.shape
+    kh, kw, _, out_ch = k.shape
+    oh, ow = out_hw
+    ph, pw = pad_lo
+
+    def phase(a, k_dim, in_dim, o_dim, pad):
+        q0 = (pad - a) % s
+        m = len(range(q0, k_dim, s))
+        off = (a + q0 - pad) // s
+        n_a = max(0, -(-(o_dim - a) // s)) if a < o_dim else 0
+        return q0, m, off, n_a
+
+    n_h = -(-oh // s)  # ceil: padded per-phase row count for the interleave
+    n_w = -(-ow // s)
+    rows = []
+    for a in range(s):
+        q0a, ma, offa, na = phase(a, kh, h, oh, ph)
+        cols = []
+        for b in range(s):
+            q0b, mb, offb, nb = phase(b, kw, w, ow, pw)
+            if ma == 0 or mb == 0 or na == 0 or nb == 0:
+                cols.append(jnp.zeros((n, n_h, n_w, out_ch), x.dtype))
+                continue
+            yp = lax.conv_general_dilated(
+                x, k[q0a::s, q0b::s],
+                window_strides=(1, 1),
+                padding=((-offa, na - 1 + offa + ma - h),
+                         (-offb, nb - 1 + offb + mb - w)),
+                dimension_numbers=_CONV_DIMS,
+                precision=_PRECISION,
+            )
+            if na < n_h or nb < n_w:
+                yp = jnp.pad(yp, ((0, 0), (0, n_h - na), (0, n_w - nb),
+                                  (0, 0)))
+            cols.append(yp)
+        rows.append(jnp.stack(cols, axis=0))
+    t = jnp.stack(rows, axis=0)                  # (s_a, s_b, n, n_h, n_w, C)
+    t = jnp.transpose(t, (2, 3, 0, 4, 1, 5))     # (n, n_h, s_a, n_w, s_b, C)
+    return t.reshape(n, n_h * s, n_w * s, out_ch)[:, :oh, :ow]
 
 
 def batch_norm_op(x, mean, var, beta, gamma, eps: float = 1e-3):

@@ -324,14 +324,12 @@ def main() -> int:
         "",
         "## Optimizer-parity note",
         "",
-        "The committed campaign predates the round-3 rmsprop parity fix",
-        "(optax now matches tf.train.RMSPropOptimizer: ones-initialized",
-        "mean-square accumulator, eps 1e-10 — hemx/train/optimizers.py).",
-        "The rmsprop anchors (cnn/vae/gan/wgan) trained under optax's",
-        "zeros-init, whose early steps are LARGER than TF's; all four",
-        "still converged to the table above, and the iwgan anchor (adam)",
-        "is unaffected. A rerun under the TF-parity initializer only",
-        "tightens the early-epoch trajectory comparison.",
+        "This campaign ran under the round-3 TF-parity rmsprop (optax",
+        "configured to match tf.train.RMSPropOptimizer: ones-initialized",
+        "mean-square accumulator via initial_scale=1.0, eps 1e-10 —",
+        "hemx/train/optimizers.py), so the rmsprop anchors",
+        "(cnn/vae/gan/wgan) follow the reference's exact update rule from",
+        "step 0; the iwgan anchor (adam) was always exact.",
         "",
         "## Semantics checks reproduced from the reference",
         "",

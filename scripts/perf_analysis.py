@@ -33,11 +33,14 @@ def main() -> int:
     p.add_argument("--latent", type=int, default=200)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--deconv_impl", default="dilated",
+                   choices=["dilated", "phase_split"])
     a = p.parse_args()
 
     import jax
-    from hemx.ops.layers import set_compute_dtype
+    from hemx.ops.layers import set_compute_dtype, set_deconv_impl
     set_compute_dtype(a.dtype)
+    set_deconv_impl(a.deconv_impl)
     from hemx.config import default_args as make_args
     from hemx.models.plugin import get_model
     from hemx.parallel.mesh import make_mesh, replicated_sharding, \

@@ -241,6 +241,68 @@ class TestLayers:
         with pytest.raises(ValueError, match="not a valid"):
             deconv2d_op(x, k, (11, 11), 2, "SAME")  # SAME wants 7..8
 
+    def test_deconv2d_phase_split_matches_dilated(self):
+        """The phase-split lowering (s^2 dense convs + interleave) computes
+        the same values and gradients as the lhs-dilated transpose, for
+        every legal output size, both paddings, odd shapes, and stride 3.
+        It sums exactly the nonzero taps the dilated form sums, so any
+        difference is f32 reduction-order rounding."""
+        from hemx.ops.layers import get_deconv_impl, set_deconv_impl
+        rng = np.random.default_rng(7)
+        cases = [
+            # (stride, kh, h, out_h, padding) — incl. the DCGAN G shape
+            (2, 5, 4, 8, "SAME"), (2, 5, 4, 7, "SAME"),
+            (2, 4, 5, 9, "SAME"), (2, 5, 3, 10, "VALID"),
+            (3, 5, 3, 9, "SAME"), (2, 1, 4, 8, "SAME"),
+        ]
+        assert get_deconv_impl() == "dilated"  # module default
+        try:
+            for stride, k_sz, h, oh, pad in cases:
+                x = jnp.asarray(rng.standard_normal((2, h, h, 3),
+                                                    dtype=np.float32))
+                k = jnp.asarray(rng.standard_normal((k_sz, k_sz, 4, 3),
+                                                    dtype=np.float32))
+                ct = jnp.asarray(rng.standard_normal((2, oh, oh, 4),
+                                                     dtype=np.float32))
+
+                def loss(x, k, impl, oh=oh, stride=stride, pad=pad):
+                    set_deconv_impl(impl)
+                    y = deconv2d_op(x, k, (oh, oh), stride, pad)
+                    return jnp.sum(y * ct), y
+
+                (_, ya), (dxa, dka) = (
+                    jax.value_and_grad(loss, (0, 1), has_aux=True)(
+                        x, k, "dilated"))
+                (_, yb), (dxb, dkb) = (
+                    jax.value_and_grad(loss, (0, 1), has_aux=True)(
+                        x, k, "phase_split"))
+                for a, b in ((ya, yb), (dxa, dxb), (dka, dkb)):
+                    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                               rtol=1e-5, atol=1e-5)
+        finally:
+            set_deconv_impl("dilated")
+
+    def test_deconv2d_phase_split_double_backprop(self):
+        """phase_split is built from standard primitives, so grad-of-grad
+        (the IWGAN gradient-penalty composition) must compose and match
+        the dilated path."""
+        from hemx.ops.layers import set_deconv_impl
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 4, 3))
+        k = jax.random.normal(jax.random.PRNGKey(6), (5, 5, 4, 3))
+
+        def gp(x, impl):
+            set_deconv_impl(impl)
+            inner = lambda x: jnp.sum(deconv2d_op(x, k, (8, 8)) ** 2)
+            return jnp.sum(jax.grad(inner)(x) ** 2)
+
+        try:
+            ga = jax.grad(gp)(x, "dilated")
+            gb = jax.grad(gp)(x, "phase_split")
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       rtol=1e-4, atol=1e-4)
+        finally:
+            set_deconv_impl("dilated")
+
     def test_deconv2d_layer_valid_default_inference(self):
         """Default output size honors padding: VALID inverts the VALID
         forward-conv arithmetic instead of blindly doubling."""

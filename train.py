@@ -22,9 +22,11 @@ from hemx.parallel.mesh import make_mesh
 
 def main(argv=None) -> int:
     args = hemx.parse_args(argv, display=True)
-    from hemx.ops.layers import set_compute_dtype, set_default_precision
+    from hemx.ops.layers import (set_compute_dtype, set_deconv_impl,
+                                 set_default_precision)
     set_default_precision(getattr(args, "precision", "default"))
     set_compute_dtype(getattr(args, "dtype", None))
+    set_deconv_impl(getattr(args, "deconv_impl", "dilated"))
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
     mesh = make_mesh(args.n_devices, model=getattr(args, "model_parallel", 1),
