@@ -303,6 +303,44 @@ class TestLayers:
         finally:
             set_deconv_impl("dilated")
 
+    @pytest.mark.parametrize("spatial", [1, 2])
+    def test_deconv2d_phase_split_sharded(self, spatial):
+        """Both lowerings are exact under GSPMD sharding — batch over
+        'data' (and height over 'spatial'): the phase-split path's kernel
+        slicing + phase interleave must not trip the partitioner corners
+        that broke other conv compositions (hemx/parallel/mesh.py)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from hemx.ops.layers import set_deconv_impl
+        from hemx.parallel.mesh import make_mesh
+
+        mesh = make_mesh(0, spatial=spatial)
+        x = jax.random.normal(jax.random.PRNGKey(3), (8, 8, 8, 3))
+        k = jax.random.normal(jax.random.PRNGKey(4), (5, 5, 4, 3))
+        ct = jax.random.normal(jax.random.PRNGKey(5), (8, 16, 16, 4))
+
+        def value_and_grads(x, k):
+            def loss(x, k):
+                y = deconv2d_op(x, k, (16, 16), 2, "SAME")
+                return jnp.sum(y * ct), y
+            (_, y), (dx, dk) = jax.value_and_grad(
+                loss, (0, 1), has_aux=True)(x, k)
+            return y, dx, dk
+
+        set_deconv_impl("dilated")
+        ref = jax.tree_util.tree_map(np.asarray, value_and_grads(x, k))
+        x_spec = P("data", "spatial") if spatial > 1 else P("data")
+        in_shardings = (NamedSharding(mesh, x_spec), NamedSharding(mesh, P()))
+        try:
+            for impl in ("dilated", "phase_split"):
+                set_deconv_impl(impl)
+                # fresh jit wrapper per impl: the lowering choice is read at
+                # trace time, so a shared wrapper would reuse the first trace
+                got = jax.jit(value_and_grads, in_shardings=in_shardings)(x, k)
+                for a, b in zip(ref, jax.tree_util.tree_map(np.asarray, got)):
+                    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+        finally:
+            set_deconv_impl("dilated")
+
     def test_deconv2d_layer_valid_default_inference(self):
         """Default output size honors padding: VALID inverts the VALID
         forward-conv arithmetic instead of blindly doubling."""
