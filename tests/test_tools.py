@@ -1,0 +1,162 @@
+"""End-to-end drives of the post-hoc tool CLIs on tiny trained runs.
+
+The reference exercised visualize.py / events.py / paper_visualize.py only
+by hand (SURVEY.md §3.4); these tests pin hemx's rebuild-model-from-
+options.json + restore-checkpoint + render path (visualize.py:42-55
+replaces the reference's meta-graph surgery, reference visualize.py:186-191)
+so a refactor of model hooks or checkpoint layout can't silently break the
+tooling the aux-artifact scripts drive.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_args
+
+import hemx
+from hemx.data.synthetic import SyntheticDataset
+from hemx.models.plugin import get_model
+from hemx.parallel.mesh import make_mesh
+from hemx.summaries.png import decode_png
+
+
+def _train_run(run_dir, model="cnn", epochs=2, **overrides):
+    overrides.setdefault("synthetic_count", 32)
+    overrides.setdefault("synthetic_shape", [32, 32, 3])
+    args = make_args(model=model, batch_size=2, epochs=str(epochs),
+                     dir=str(run_dir), seed=11, examples=4, **overrides)
+    mesh = make_mesh(0)
+    splits = SyntheticDataset.get_datasets(args)
+    m = get_model(model)(args, mesh)
+    hemx.train(m, splits, args, mesh)
+    return str(run_dir)
+
+
+@pytest.fixture(scope="module")
+def cnn_run(tmp_path_factory):
+    return _train_run(tmp_path_factory.mktemp("cnn_run"), "cnn", epochs=2)
+
+
+@pytest.fixture(scope="module")
+def gan_run(tmp_path_factory):
+    return _train_run(tmp_path_factory.mktemp("gan_run"), "gan", epochs=1,
+                      n_disc_train=1)
+
+
+def _assert_png(path):
+    with open(path, "rb") as f:
+        img = decode_png(f.read())
+    assert img.size > 0
+
+
+class TestVisualizeCli:
+    def test_cnn_run_all_flag_outputs(self, cnn_run):
+        """--sample/--timelapse/--activations/--weights/--loss on an
+        autoencoder run: every advertised output lands in <dir>/visualize
+        as a decodable PNG (or non-empty PDF)."""
+        import visualize
+        rc = visualize.main(["--dir", cnn_run, "--sample", "--timelapse",
+                             "--activations", "--weights", "--loss"])
+        assert rc == 0
+        out = os.path.join(cnn_run, "visualize")
+        names = sorted(os.listdir(out))
+        assert "samples.png" in names
+        # baseline checkpoint + one per epoch => >= 2 timelapse frames
+        frames = [n for n in names if n.startswith("timelapse-")]
+        assert len(frames) >= 2
+        assert any(n.startswith("activations-") for n in names)
+        assert any(n.startswith("weights-") for n in names)
+        assert "loss.pdf" in names
+        _assert_png(os.path.join(out, "samples.png"))
+        _assert_png(os.path.join(out, frames[0]))
+        assert os.path.getsize(os.path.join(out, "loss.pdf")) > 0
+
+    def test_bestfit_gradient_ascent(self, cnn_run):
+        """--bestfit (gradient ascent in image space, reference
+        visualize.py:206-247) renders a finite montage for a chosen layer."""
+        import visualize
+        run = visualize.load_run(cnn_run)
+        out = os.path.join(cnn_run, "visualize")
+        visualize.visualize_bestfit(run, out, n_filters=2)
+        fits = [n for n in os.listdir(out) if n.startswith("bestfit-")]
+        assert fits
+        _assert_png(os.path.join(out, fits[0]))
+
+    def test_gan_run_samples_from_generator(self, gan_run):
+        """GAN runs sample the generator (not the recon path)."""
+        import visualize
+        rc = visualize.main(["--dir", gan_run, "--sample"])
+        assert rc == 0
+        path = os.path.join(gan_run, "visualize", "samples.png")
+        _assert_png(path)
+
+
+class TestEventsCli:
+    def test_loss_curves_pdf(self, cnn_run, tmp_path):
+        import events
+        out = str(tmp_path / "losses.pdf")
+        assert events.main([cnn_run, "--out", out]) == 0
+        assert os.path.getsize(out) > 0
+
+    def test_tag_filter_and_logy(self, cnn_run, tmp_path):
+        import events
+        out = str(tmp_path / "filtered.pdf")
+        assert events.main([cnn_run, "--tags", "loss", "--logy",
+                            "--out", out]) == 0
+        assert os.path.getsize(out) > 0
+
+    def test_no_series_is_an_error(self, tmp_path):
+        import events
+        empty = tmp_path / "empty"
+        (empty / "train").mkdir(parents=True)
+        assert events.main([str(empty),
+                            "--out", str(tmp_path / "x.pdf")]) == 1
+
+    def test_histogram_fan(self, gan_run, tmp_path):
+        """--histogram renders the percentile-fan chart for the GAN's
+        sample histograms (the same summaries parity_report.py's
+        sample-statistics table reads)."""
+        import events
+        out = str(tmp_path / "fan.png")
+        rc = events.main([gan_run, "--histogram", "examples/fakes_hist",
+                          "--out", out])
+        assert rc == 0
+        assert os.path.getsize(out) > 0
+
+    def test_histogram_list(self, gan_run, capsys):
+        import events
+        assert events.main([gan_run, "--histogram", "list"]) == 0
+        listed = capsys.readouterr().out
+        assert "examples/fakes_hist" in listed
+        assert "examples/real_hist" in listed
+
+
+class TestPaperVisualizeCli:
+    @pytest.fixture(scope="class")
+    def standalone_run(self, tmp_path_factory):
+        return _train_run(
+            tmp_path_factory.mktemp("standalone_run"), "paper_standalone",
+            epochs=1, synthetic_count=32, synthetic_shape=[65, 65, 3],
+            g_lr=1e-3, g_beta1=0.5, g_beta2=0.999,
+            model_version="mean_adjusted")
+
+    def test_metric_chart(self, standalone_run, tmp_path):
+        import paper_visualize
+        out = str(tmp_path / "experiment.pdf")
+        rc = paper_visualize.main([standalone_run, "--out", out,
+                                   "--metrics", "linear_rmse", "t1"])
+        assert rc == 0
+        assert os.path.getsize(out) > 0
+        tags = paper_visualize.find_metric_tags(standalone_run)
+        assert "metrics_y_hat/linear_rmse" in tags
+        assert "metrics_y_0/linear_rmse" in tags  # baseline predictor rows
+
+    def test_missing_metrics_is_an_error(self, cnn_run, tmp_path):
+        """A run without metric summaries (cnn) reports failure instead of
+        writing an empty chart."""
+        import paper_visualize
+        rc = paper_visualize.main([cnn_run,
+                                   "--out", str(tmp_path / "none.pdf")])
+        assert rc == 1
