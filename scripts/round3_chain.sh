@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# Post-campaign chain: wait for the parity campaign to finish, then
+# regenerate PARITY.md and produce every TPU-dependent round artifact.
+# Run detached (setsid nohup) so it survives the driving session.
+set -u
+cd "$(dirname "$0")/.."
+A=workspace/artifacts
+mkdir -p "$A"
+
+echo "=== chain: waiting for campaign ($(date))"
+while [ ! -f workspace/parity/iwgan.done ]; do
+  # bail out if the campaign process died without finishing
+  if ! pgrep -f "scripts/parity_campaign.sh" > /dev/null \
+     && ! pgrep -f "train.py.*workspace/parity" > /dev/null; then
+    sleep 10
+    if [ ! -f workspace/parity/iwgan.done ]; then
+      echo "=== chain: campaign process gone but iwgan not done ($(date)) — aborting"
+      exit 255
+    fi
+  fi
+  sleep 30
+done
+echo "=== chain: campaign done ($(date))"
+
+echo "=== chain: parity report"
+python scripts/parity_report.py > "$A/parity_report.log" 2>&1 \
+  || echo "parity_report failed"
+
+echo "=== chain: aux artifacts"
+bash scripts/aux_artifacts.sh > "$A/aux_artifacts.log" 2>&1 \
+  || echo "aux_artifacts failed"
+
+echo "=== chain: deconv A/B on the real chip"
+python bench.py > "$A/bench_deconv_dilated.json" \
+  2> "$A/bench_deconv_dilated.log" || echo "deconv dilated bench failed"
+python bench.py --deconv_impl phase_split \
+  > "$A/bench_deconv_phase_split.json" \
+  2> "$A/bench_deconv_phase_split.log" || echo "deconv phase_split bench failed"
+
+echo "=== chain: complete ($(date))"
+touch "$A/chain.done"
