@@ -37,11 +37,15 @@ run() {
   echo "=== $name finished: $(date) ==="
 }
 
-# examples.org rows (reference: /root/reference/examples/examples.org):
+# examples.org rows (reference: /root/reference/examples/examples.org).
+# Order: cnn and iwgan first — they are the two runs the FID artifact
+# depends on (bench.py --fid uses the cnn run as the trained feature
+# extractor and scores the iwgan run), so the round's critical-path
+# artifacts unblock even if a later run is cut short.
 run cnn   --model cnn   --optimizer rmsprop --lr 1e-4
+run iwgan --model iwgan --optimizer adam --lr 1e-4 --beta1 0.5 --beta2 0.9 \
+          --n_disc_train 5
 run vae   --model vae   --optimizer rmsprop --lr 1e-3 --latent_size 200
 run gan   --model gan   --optimizer rmsprop --lr 2.5e-5
 run wgan  --model wgan  --optimizer rmsprop --lr 2.5e-5 --n_disc_train 5
-run iwgan --model iwgan --optimizer adam --lr 1e-4 --beta1 0.5 --beta2 0.9 \
-          --n_disc_train 5
 echo "=== campaign complete: $(date) ==="

@@ -7,14 +7,24 @@ cd "$(dirname "$0")/.."
 A=workspace/artifacts
 mkdir -p "$A"
 
+all_done() {
+  # the campaign runs cnn/iwgan first (FID deps), then vae/gan/wgan —
+  # wait for every anchor so parity_report and the loss-curve PDFs see
+  # complete runs
+  for m in cnn iwgan vae gan wgan; do
+    [ -f "workspace/parity/$m.done" ] || return 1
+  done
+  return 0
+}
+
 echo "=== chain: waiting for campaign ($(date))"
-while [ ! -f workspace/parity/iwgan.done ]; do
+until all_done; do
   # bail out if the campaign process died without finishing
   if ! pgrep -f "scripts/parity_campaign.sh" > /dev/null \
      && ! pgrep -f "train.py.*workspace/parity" > /dev/null; then
     sleep 10
-    if [ ! -f workspace/parity/iwgan.done ]; then
-      echo "=== chain: campaign process gone but iwgan not done ($(date)) — aborting"
+    if ! all_done; then
+      echo "=== chain: campaign process gone but runs not done ($(date)) — aborting"
       exit 255
     fi
   fi
