@@ -40,6 +40,11 @@ echo "=== chain: aux artifacts"
 bash scripts/aux_artifacts.sh > "$A/aux_artifacts.log" 2>&1 \
   || echo "aux_artifacts failed"
 
+echo "=== chain: parity report (rerun — now fid.json exists, so the"
+echo "    regenerated PARITY.md carries the Sample-quality section)"
+python scripts/parity_report.py > "$A/parity_report2.log" 2>&1 \
+  || echo "parity_report rerun failed"
+
 echo "=== chain: deconv A/B on the real chip"
 python bench.py > "$A/bench_deconv_dilated.json" \
   2> "$A/bench_deconv_dilated.log" || echo "deconv dilated bench failed"
