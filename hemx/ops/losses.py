@@ -35,8 +35,17 @@ def bernoulli_recon_loss(x, x_hat, eps: float = 1e-8):
 
     Sum reduction is kept deliberately so loss magnitudes match
     examples/examples.org (see BASELINE.md row 4).
+
+    The second term's guard must be ``eps + (1 - x_hat)`` with the
+    subtraction FIRST, exactly as the reference parenthesizes it
+    (models/vae.py:76): written ``eps + 1.0 - x_hat`` it associates as
+    ``(eps + 1.0) - x_hat``, and in float32 ``1e-8 + 1.0 == 1.0`` (eps is
+    below the ulp of 1.0), so the guard vanishes and a saturated
+    ``x_hat == 1`` pixel under an ``x == 1`` label yields
+    ``0 * log(0) = NaN`` — which killed a 100-epoch VAE run at the very
+    last epoch before this was fixed.
     """
-    ll = x * jnp.log(eps + x_hat) + (1.0 - x) * jnp.log(eps + 1.0 - x_hat)
+    ll = x * jnp.log(eps + x_hat) + (1.0 - x) * jnp.log(eps + (1.0 - x_hat))
     return -jnp.sum(ll)
 
 

@@ -91,6 +91,24 @@ class TestLosses:
             jnp.asarray(zm), jnp.asarray(zs))) == pytest.approx(
                 want, rel=1e-4)
 
+    def test_vae_recon_loss_finite_at_saturation(self):
+        # Regression: a saturated x_hat == 1 pixel under an x == 1 label.
+        # The eps guard must be eps + (1 - x_hat), subtraction first, as the
+        # reference parenthesizes it (models/vae.py:76): the unparenthesized
+        # form rounds (1e-8 + 1.0) -> 1.0 in f32 and yields 0 * log(0) = NaN
+        # in the loss AND the gradient (killed a 100-epoch VAE run at the
+        # last epoch before the fix).
+        x = jnp.asarray(np.float32([[1.0, 0.0, 0.5]]))
+        x_hat = jnp.asarray(np.float32([[1.0, 0.0, 0.5]]))
+        val, grad = jax.value_and_grad(
+            lambda xh: bernoulli_recon_loss(x, xh))(x_hat)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(grad)).all()
+        # the saturated-corner terms equal the reference's guarded values
+        want = -np.sum([np.log(1e-8 + 1.0), np.log(1e-8 + 1.0),
+                        np.log(1e-8 + 0.5) * 0.5 + np.log(1e-8 + 0.5) * 0.5])
+        assert float(val) == pytest.approx(want, rel=1e-5)
+
     def test_gradient_penalty_linear_critic(self):
         # critic f(x) = sum(2x): grad is 2 everywhere.
         def d_apply(x):
