@@ -27,6 +27,7 @@ from hemx.models.depth_nets import _A, _P
 from hemx.models.plugin import ModelPlugin
 from hemx.ops import initializers
 from hemx.ops.activations import lrelu
+from hemx.ops.losses import guarded_one_minus
 from hemx.parallel.dp import jit_step
 from hemx.train.optimizers import init_optimizer
 
@@ -161,7 +162,7 @@ class InfoGan(ModelPlugin):
                                             y, ctx)
                 d_fake, ms2 = self._d.apply(pd, ms1, g, ctx)
                 d_loss = -jnp.mean(jnp.log(d_real + eps)
-                                   + jnp.log(1.0 - d_fake + eps))
+                                   + jnp.log(guarded_one_minus(d_fake) + eps))
                 return d_loss, ms2
 
             (d_loss, ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -242,7 +243,7 @@ class InfoGan(ModelPlugin):
                                       ts["mstate"]["discriminator"], g, ctx)
             return {"g_loss": -jnp.mean(jnp.log(d_fake + eps)),
                     "d_loss": -jnp.mean(jnp.log(d_real + eps)
-                                        + jnp.log(1.0 - d_fake + eps))}
+                                        + jnp.log(guarded_one_minus(d_fake) + eps))}
 
         self._jit_d = jit_step(d_step, self.mesh)
         self._jit_g = jit_step(g_step, self.mesh)

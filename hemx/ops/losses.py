@@ -4,6 +4,27 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+
+def guarded_one_minus(p):
+    """``1 - p`` protected from XLA's constant reassociation, for use under
+    an additive-eps log guard.
+
+    Every reference loss that takes ``log(eps + (1 - p))`` (models/vae.py:76,
+    models/gan.py:196, hem/models/info_gan.py) relies on strict left-to-right
+    TF1 evaluation: the eps keeps the log argument >= eps even when ``p``
+    saturates to exactly 1.0. Under jit, XLA's algebraic simplifier folds
+    ``eps + (1 - p)`` into ``(eps + 1) - p`` and constant-folds
+    ``1e-8 + 1.0 -> 1.0`` in f32, annihilating the guard at COMPILE time —
+    no parenthesization or clamp survives the rewrite (measured on TPU: a
+    saturated sigmoid output produced ``log(0) = -inf`` inside the fused
+    program — then ``0 * -inf = NaN`` killed a 100-epoch VAE run at its last
+    epoch — while the same op-by-op computation was finite). The
+    optimization barrier pins ``1 - p`` as an opaque value so the eps add
+    happens at run time, exactly as the reference's unfused graph did.
+    """
+    return lax.optimization_barrier(1.0 - p)
 
 
 def rmse(a, b):
@@ -38,14 +59,12 @@ def bernoulli_recon_loss(x, x_hat, eps: float = 1e-8):
 
     The second term's guard must be ``eps + (1 - x_hat)`` with the
     subtraction FIRST, exactly as the reference parenthesizes it
-    (models/vae.py:76): written ``eps + 1.0 - x_hat`` it associates as
-    ``(eps + 1.0) - x_hat``, and in float32 ``1e-8 + 1.0 == 1.0`` (eps is
-    below the ulp of 1.0), so the guard vanishes and a saturated
-    ``x_hat == 1`` pixel under an ``x == 1`` label yields
-    ``0 * log(0) = NaN`` — which killed a 100-epoch VAE run at the very
-    last epoch before this was fixed.
+    (models/vae.py:76) — AND the subtraction must be pinned behind an
+    optimization barrier or XLA re-folds it at compile time; see
+    :func:`guarded_one_minus` for the measured failure.
     """
-    ll = x * jnp.log(eps + x_hat) + (1.0 - x) * jnp.log(eps + (1.0 - x_hat))
+    ll = x * jnp.log(eps + x_hat) \
+        + (1.0 - x) * jnp.log(eps + guarded_one_minus(x_hat))
     return -jnp.sum(ll)
 
 
@@ -64,8 +83,13 @@ def gan_g_loss(d_fake, eps: float = 1e-8):
 
 
 def gan_d_loss(d_real, d_fake, eps: float = 1e-8):
-    """Discriminator log loss (reference: models/gan.py:196)."""
-    return jnp.mean(-jnp.log(d_real + eps) - jnp.log(1.0 - d_fake + eps))
+    """Discriminator log loss (reference: models/gan.py:196).
+
+    ``1 - d_fake`` is barrier-pinned: XLA otherwise folds the eps guard
+    away and a D output saturated at exactly 1.0 turns the loss into
+    ``-log(0) = inf`` (see :func:`guarded_one_minus`)."""
+    return jnp.mean(-jnp.log(d_real + eps)
+                    - jnp.log(guarded_one_minus(d_fake) + eps))
 
 
 def wgan_g_loss(d_fake):

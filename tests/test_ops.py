@@ -93,20 +93,35 @@ class TestLosses:
 
     def test_vae_recon_loss_finite_at_saturation(self):
         # Regression: a saturated x_hat == 1 pixel under an x == 1 label.
-        # The eps guard must be eps + (1 - x_hat), subtraction first, as the
-        # reference parenthesizes it (models/vae.py:76): the unparenthesized
-        # form rounds (1e-8 + 1.0) -> 1.0 in f32 and yields 0 * log(0) = NaN
-        # in the loss AND the gradient (killed a 100-epoch VAE run at the
-        # last epoch before the fix).
+        # The eps guard eps + (1 - x_hat) must be pinned behind an
+        # optimization barrier: UNDER JIT, XLA's algebraic simplifier folds
+        # it into (eps + 1) - x_hat and rounds 1e-8 + 1.0 -> 1.0 in f32
+        # (verified on both the TPU and CPU backends), so the fused program
+        # computes 0 * log(0) = NaN while the eager ops are finite — this
+        # killed a 100-epoch VAE run at its last epoch, twice, before the
+        # barrier fix (hemx.ops.losses.guarded_one_minus).
         x = jnp.asarray(np.float32([[1.0, 0.0, 0.5]]))
         x_hat = jnp.asarray(np.float32([[1.0, 0.0, 0.5]]))
-        val, grad = jax.value_and_grad(
-            lambda xh: bernoulli_recon_loss(x, xh))(x_hat)
+        for wrap in (lambda f: f, jax.jit):  # the jit path is the regression
+            val, grad = wrap(jax.value_and_grad(
+                lambda xh: bernoulli_recon_loss(x, xh)))(x_hat)
+            assert np.isfinite(float(val))
+            assert np.isfinite(np.asarray(grad)).all()
+            # the saturated-corner terms equal the reference's guarded values
+            want = -np.sum([np.log(1e-8 + 1.0), np.log(1e-8 + 1.0),
+                            np.log(1e-8 + 0.5) * 0.5
+                            + np.log(1e-8 + 0.5) * 0.5])
+            assert float(val) == pytest.approx(want, rel=1e-5)
+
+    def test_gan_d_loss_finite_at_saturation(self):
+        # Same XLA guard-folding hazard in the GAN discriminator loss:
+        # d_fake == 1.0 must give -log(eps), not -log(0) = inf, under jit.
+        d_real = jnp.asarray(np.float32([0.5, 1.0]))
+        d_fake = jnp.asarray(np.float32([1.0, 0.0]))
+        val = jax.jit(gan_d_loss)(d_real, d_fake)
         assert np.isfinite(float(val))
-        assert np.isfinite(np.asarray(grad)).all()
-        # the saturated-corner terms equal the reference's guarded values
-        want = -np.sum([np.log(1e-8 + 1.0), np.log(1e-8 + 1.0),
-                        np.log(1e-8 + 0.5) * 0.5 + np.log(1e-8 + 0.5) * 0.5])
+        want = np.mean([-np.log(0.5 + 1e-8) - np.log(1e-8),
+                        -np.log(1.0 + 1e-8) - np.log(1.0 + 1e-8)])
         assert float(val) == pytest.approx(want, rel=1e-5)
 
     def test_gradient_penalty_linear_critic(self):
