@@ -296,6 +296,19 @@ def main() -> int:
             lines.append(
                 f"| trained cnn encoder | {fid['fid_encoder']} | "
                 f"{fid.get('fid_encoder_data_floor', '—')} |")
+        try:
+            rp = fid["fid_pixel"] / fid["fid_pixel_data_floor"]
+            re_ = fid["fid_encoder"] / fid["fid_encoder_data_floor"]
+            lines += [
+                "",
+                f"Generated-vs-floor ratio: {rp:.1f}× (pixel), "
+                f"{re_:.1f}× (encoder) — generated samples sit measurably",
+                "farther from the train split than the val split does, as",
+                "expected for a 100-epoch small GAN; the floor calibrates",
+                "each extractor's scale.",
+            ]
+        except (KeyError, ZeroDivisionError, TypeError):
+            pass
 
     stat_rows = [(m, sample_statistics(m)) for m in ("gan", "wgan", "iwgan")]
     if any(r for _, r in stat_rows):
