@@ -465,18 +465,27 @@ def _attach_artifacts(result: dict) -> None:
     """Fold previously-computed round artifacts (sample FID from
     `bench.py --fid`, pipeline numbers from `bench.py --e2e`, both produced
     by scripts/aux_artifacts.sh) into the headline JSON's detail, so the
-    one-line record carries quality alongside throughput."""
+    one-line record carries quality alongside throughput.
+
+    Two locations are searched: ``workspace/artifacts/`` (fresh, this
+    session's runs — gitignored, so it does NOT survive between sessions)
+    and the tracked ``artifacts/`` directory, which aux_artifacts.sh
+    mirrors into so the latest measured JSONs persist across session
+    wipes. Fresh wins over tracked."""
     root = os.path.dirname(os.path.abspath(__file__))
     for name, key in (("fid.json", "fid"), ("e2e.json", "e2e"),
                       ("e2e_cnn.json", "e2e_cnn"),
                       ("e2e_cached.json", "e2e_cached"),
                       ("e2e_cnn_cached.json", "e2e_cnn_cached")):
-        path = os.path.join(root, "workspace", "artifacts", name)
-        try:
-            with open(path) as f:
-                result.setdefault("detail", {})[key] = json.load(f)["detail"]
-        except (OSError, ValueError, KeyError):
-            pass
+        for base in (os.path.join(root, "workspace", "artifacts"),
+                     os.path.join(root, "artifacts")):
+            try:
+                with open(os.path.join(base, name)) as f:
+                    result.setdefault("detail", {})[key] = \
+                        json.load(f)["detail"]
+                break
+            except (OSError, ValueError, KeyError):
+                pass
 
 
 if __name__ == "__main__":

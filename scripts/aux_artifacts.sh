@@ -72,3 +72,17 @@ python events.py workspace/parity/gan workspace/parity/wgan \
     --out "$A/parity_gan_losses.pdf" > /dev/null 2>&1 || true
 
 echo "=== aux artifacts complete: $(date)"
+
+echo "=== mirror measured JSONs into the tracked artifacts/: $(date)"
+# workspace/ is gitignored and wiped between sessions; the tracked copies
+# are what bench.py's _attach_artifacts falls back to (and what the
+# end-of-round BENCH_r*.json detail is built from) when the fresh ones
+# are gone. Commit artifacts/ after a successful chain.
+mkdir -p artifacts
+for j in fid.json e2e.json e2e_cnn.json e2e_cached.json e2e_cnn_cached.json \
+         compute.json; do
+  if [ -s "$A/$j" ] && python -c "import json,sys; json.load(open('$A/$j'))" \
+      2>/dev/null; then
+    cp "$A/$j" "artifacts/$j"
+  fi
+done

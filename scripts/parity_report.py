@@ -89,14 +89,22 @@ def elapsed_seconds(model, max_gap: float = 600.0, base: str | None = None):
 
 
 def fid_artifact() -> dict | None:
-    """Detail dict of workspace/artifacts/fid.json (bench.py --fid output),
-    or None before scripts/aux_artifacts.sh has run."""
-    path = os.path.join(W, "..", "artifacts", "fid.json")
-    try:
-        with open(path) as f:
-            return json.load(f)["detail"]
-    except (OSError, ValueError, KeyError):
-        return None
+    """Detail dict of fid.json (bench.py --fid output): the fresh
+    workspace/artifacts/ copy if this session ran aux_artifacts.sh,
+    else the committed artifacts/ copy (workspace/ is session-local);
+    None when neither exists."""
+    # normpath: with workspace/parity wiped (the exact scenario the
+    # fallback exists for), a raw ..-relative open() fails ENOENT on the
+    # missing intermediate dirs before ever reaching artifacts/.
+    for base in (os.path.normpath(os.path.join(W, "..", "artifacts")),
+                 os.path.normpath(os.path.join(W, "..", "..",
+                                               "artifacts"))):
+        try:
+            with open(os.path.join(base, "fid.json")) as f:
+                return json.load(f)["detail"]
+        except (OSError, ValueError, KeyError):
+            pass
+    return None
 
 
 def _hist_moments(h: dict):
@@ -285,7 +293,7 @@ def main() -> int:
             "",
             "The reference published no FID (SURVEY.md §6); the data-vs-data",
             "floor calibrates the scale (computed by `bench.py --fid` over",
-            "the trained parity IWGAN, `workspace/artifacts/fid.json`):",
+            "the trained parity IWGAN, committed `artifacts/fid.json`):",
             "",
             "| extractor | FID(generated, train) | FID(val, train) floor |",
             "|---|---|---|",

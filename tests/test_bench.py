@@ -37,6 +37,32 @@ class TestAttachArtifacts:
         # pre-existing detail keys survive
         assert result["detail"]["n_chips"] == 1
 
+    def test_tracked_fallback_and_fresh_precedence(self, tmp_path,
+                                                   monkeypatch):
+        """workspace/ is wiped between sessions; the tracked artifacts/
+        copies must attach when the fresh ones are gone, and a fresh
+        workspace copy must win over a stale tracked one."""
+        root = self._with_root(tmp_path, monkeypatch)
+        tracked = root / "artifacts"
+        tracked.mkdir()
+        (tracked / "fid.json").write_text(json.dumps(
+            {"metric": "fid", "detail": {"fid_pixel": 0.28}}))
+        (tracked / "e2e.json").write_text(json.dumps(
+            {"metric": "e2e", "detail": {"steady_epoch_s": 9.0}}))
+        result = {"metric": "m", "value": 1.0}
+        bench._attach_artifacts(result)
+        assert result["detail"]["fid"]["fid_pixel"] == 0.28
+        assert result["detail"]["e2e"]["steady_epoch_s"] == 9.0
+
+        fresh = root / "workspace" / "artifacts"
+        fresh.mkdir(parents=True)
+        (fresh / "e2e.json").write_text(json.dumps(
+            {"metric": "e2e", "detail": {"steady_epoch_s": 4.0}}))
+        result = {"metric": "m", "value": 1.0}
+        bench._attach_artifacts(result)
+        assert result["detail"]["e2e"]["steady_epoch_s"] == 4.0  # fresh wins
+        assert result["detail"]["fid"]["fid_pixel"] == 0.28  # tracked fills
+
     def test_malformed_artifact_ignored(self, tmp_path, monkeypatch):
         root = self._with_root(tmp_path, monkeypatch)
         art = root / "workspace" / "artifacts"

@@ -160,3 +160,47 @@ class TestPaperVisualizeCli:
         rc = paper_visualize.main([cnn_run,
                                    "--out", str(tmp_path / "none.pdf")])
         assert rc == 1
+
+
+class TestParityReportArtifacts:
+    """parity_report.fid_artifact must survive the between-session wipe of
+    the gitignored workspace/: fresh workspace/artifacts/fid.json wins,
+    the committed artifacts/fid.json is the fallback."""
+
+    def _load(self):
+        import importlib.util
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "parity_report", os.path.join(root, "scripts",
+                                          "parity_report.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_fresh_wins_tracked_falls_back(self, tmp_path, monkeypatch):
+        import json
+        pr = self._load()
+        monkeypatch.setattr(pr, "W", str(tmp_path / "workspace" / "parity"))
+        assert pr.fid_artifact() is None
+        tracked = tmp_path / "artifacts"
+        tracked.mkdir()
+        (tracked / "fid.json").write_text(json.dumps(
+            {"detail": {"fid_pixel": 0.28}}))
+        assert pr.fid_artifact()["fid_pixel"] == 0.28
+        fresh = tmp_path / "workspace" / "artifacts"
+        fresh.mkdir(parents=True)
+        (fresh / "fid.json").write_text(json.dumps(
+            {"detail": {"fid_pixel": 0.5}}))
+        assert pr.fid_artifact()["fid_pixel"] == 0.5
+
+    def test_committed_fid_artifact_parses(self):
+        """The committed artifacts/fid.json (restored measurement) must
+        stay loadable with the fields PARITY.md's Sample-quality section
+        and bench's attachment need."""
+        import json
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "artifacts", "fid.json")) as f:
+            d = json.load(f)["detail"]
+        for k in ("fid_pixel", "fid_pixel_data_floor", "fid_encoder",
+                  "fid_encoder_data_floor", "samples", "provenance"):
+            assert k in d
