@@ -367,8 +367,10 @@ def main() -> int:
         "  counts G+D applies, which is why its step totals differ from its",
         "  epoch×batches product.",
         "",
-        "Raw event files for every run live under `workspace/parity/<model>/`",
-        "(regenerate: `bash scripts/parity_campaign.sh`, then this script).",
+        "Raw event files land under the session-local (gitignored)",
+        "`workspace/parity/<model>/`; this committed report is the durable",
+        "record (regenerate: `bash scripts/parity_campaign.sh`, then this",
+        "script).",
     ]
     with open(OUT, "w") as f:
         f.write("\n".join(lines) + "\n")
