@@ -199,6 +199,15 @@ def main() -> int:
                                val_last=(va[-1][1] if va else None))
         rows.append((model, info))
 
+    if all(info is None for _, info in rows):
+        # nothing trained in this session's workspace (it is gitignored and
+        # wiped between sessions) -- refuse to clobber the committed
+        # campaign evidence with an all-"RUN NOT COMPLETE" report
+        print("no parity runs under", os.path.normpath(W),
+              "-- leaving the committed PARITY.md untouched "
+              "(run scripts/parity_campaign.sh first)", file=sys.stderr)
+        return 1
+
     base = data_baselines()
     ts = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
 

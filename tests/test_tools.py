@@ -204,3 +204,16 @@ class TestParityReportArtifacts:
         for k in ("fid_pixel", "fid_pixel_data_floor", "fid_encoder",
                   "fid_encoder_data_floor", "samples", "provenance"):
             assert k in d
+
+    def test_report_refuses_to_clobber_without_runs(self, tmp_path,
+                                                    monkeypatch):
+        """With the session-local workspace wiped (no <model>.done), main()
+        must exit 1 and leave the committed PARITY.md untouched rather
+        than regenerate an all-'RUN NOT COMPLETE' report."""
+        pr = self._load()
+        monkeypatch.setattr(pr, "W", str(tmp_path / "workspace" / "parity"))
+        out = tmp_path / "PARITY.md"
+        out.write_text("committed evidence")
+        monkeypatch.setattr(pr, "OUT", str(out))
+        assert pr.main() == 1
+        assert out.read_text() == "committed evidence"
