@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -444,6 +445,13 @@ def main() -> None:
                         help="Trained cnn/vae run whose encoder is the "
                              "second FID extractor.")
     parser.add_argument("--fid_samples", type=int, default=4096)
+    parser.add_argument("--out", default=None,
+                        help="Write the FULL result JSON (detail included) "
+                             "to this file; stdout always carries only the "
+                             "short headline line. Default: the headline "
+                             "mode writes workspace/artifacts/"
+                             "bench_detail.json + a tracked mirror at "
+                             "artifacts/bench_detail.json.")
     args = parser.parse_args()
 
     from hemx.ops.layers import set_compute_dtype, set_deconv_impl
@@ -458,31 +466,87 @@ def main() -> None:
     else:
         result = run_compute(args)
         _attach_artifacts(result)
-    print(json.dumps(result))
+    result.setdefault("detail", {})["provenance"] = {
+        "measured_utc": time.strftime("%Y-%m-%d %H:%M:%S",
+                                      time.gmtime()),
+        "argv": " ".join(sys.argv),
+    }
+    detail_paths = _write_detail(result, args)
+    # stdout stays ONE SHORT LINE in every mode: round 3's driver record
+    # (BENCH_r03.json) came back `parsed: null` because the full detail
+    # (fid provenance + four e2e sections) outgrew the driver's tail
+    # capture and chopped the line's head. The detail lives in the files
+    # above; the line carries the headline + pointers.
+    short = {"metric": result["metric"], "value": result["value"],
+             "unit": result["unit"], "vs_baseline": result["vs_baseline"]}
+    if "vs_baseline_note" in result:
+        short["vs_baseline_note"] = result["vs_baseline_note"]
+    detail = result.get("detail", {})
+    for k in ("step_time_s", "steady_epoch_s", "first_epoch_penalty",
+              "n_chips", "samples"):
+        if k in detail:
+            short[k] = detail[k]
+    if detail_paths:
+        short["detail_file"] = detail_paths[-1]
+    print(json.dumps(short))
+
+
+def _write_detail(result: dict, args) -> list[str]:
+    """Write the full result JSON to --out (if given) or, for the headline
+    compute mode, to workspace/artifacts/bench_detail.json plus a tracked
+    mirror at artifacts/bench_detail.json (workspace/ is gitignored and
+    wiped between sessions; the tracked copy is what the round's
+    BENCH_r*.json pointer resolves to later). Returns repo-relative paths
+    written, least-durable first."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    if args.out:
+        targets = [args.out]
+    elif not args.fid and not args.e2e:
+        targets = [os.path.join(root, "workspace", "artifacts",
+                                "bench_detail.json"),
+                   os.path.join(root, "artifacts", "bench_detail.json")]
+    else:
+        return []
+    written = []
+    for t in targets:
+        os.makedirs(os.path.dirname(os.path.abspath(t)), exist_ok=True)
+        with open(t, "w") as f:
+            json.dump(result, f, indent=1)
+        written.append(os.path.relpath(os.path.abspath(t), root))
+    return written
 
 
 def _attach_artifacts(result: dict) -> None:
     """Fold previously-computed round artifacts (sample FID from
     `bench.py --fid`, pipeline numbers from `bench.py --e2e`, both produced
     by scripts/aux_artifacts.sh) into the headline JSON's detail, so the
-    one-line record carries quality alongside throughput.
+    detail-file record carries quality alongside throughput.
 
     Two locations are searched: ``workspace/artifacts/`` (fresh, this
     session's runs — gitignored, so it does NOT survive between sessions)
     and the tracked ``artifacts/`` directory, which aux_artifacts.sh
     mirrors into so the latest measured JSONs persist across session
-    wipes. Fresh wins over tracked."""
+    wipes. Fresh wins over tracked, and every attached block is tagged
+    with its source file + mtime so a record mixing fresh throughput with
+    stale pipeline numbers is self-describing (ADVICE r3)."""
     root = os.path.dirname(os.path.abspath(__file__))
     for name, key in (("fid.json", "fid"), ("e2e.json", "e2e"),
                       ("e2e_cnn.json", "e2e_cnn"),
                       ("e2e_cached.json", "e2e_cached"),
                       ("e2e_cnn_cached.json", "e2e_cnn_cached")):
-        for base in (os.path.join(root, "workspace", "artifacts"),
-                     os.path.join(root, "artifacts")):
+        for base, src in ((os.path.join(root, "workspace", "artifacts"),
+                           "fresh"),
+                          (os.path.join(root, "artifacts"), "tracked")):
+            path = os.path.join(base, name)
             try:
-                with open(os.path.join(base, name)) as f:
-                    result.setdefault("detail", {})[key] = \
-                        json.load(f)["detail"]
+                with open(path) as f:
+                    block = dict(json.load(f)["detail"])
+                block["attached_from"] = {
+                    "file": os.path.relpath(path, root), "source": src,
+                    "mtime_utc": time.strftime(
+                        "%Y-%m-%d %H:%M:%S",
+                        time.gmtime(os.path.getmtime(path)))}
+                result.setdefault("detail", {})[key] = block
                 break
             except (OSError, ValueError, KeyError):
                 pass

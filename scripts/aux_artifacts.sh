@@ -6,6 +6,13 @@
 #      paper_fullimage over >=4 larger scenes at strides 4 and 1
 # Results land in workspace/artifacts/ and are summarized into PARITY.md /
 # PERF.md by hand.
+#
+# Ordering contract (VERDICT r3 weak #2): the plain `python bench.py`
+# compute run comes LAST, after every e2e/fid artifact it snapshots into
+# its detail file, so the embedded sections always equal the sibling
+# artifact JSONs from the SAME session. bench.py stamps provenance
+# (measured_utc + argv) into every result, and tags each attached block
+# with its source file + mtime, so any later mixing is self-describing.
 set -u
 cd "$(dirname "$0")/.."
 A=workspace/artifacts
@@ -13,28 +20,30 @@ mkdir -p "$A"
 
 echo "=== fid: $(date)"
 python bench.py --fid --dir workspace/parity/iwgan \
-    --fid_encoder_dir workspace/parity/cnn \
-    > "$A/fid.json" 2> "$A/fid.log" || echo "fid failed"
+    --fid_encoder_dir workspace/parity/cnn --out "$A/fid.json" \
+    > /dev/null 2> "$A/fid.log" || echo "fid failed"
 
 echo "=== e2e bench: $(date)"
-python bench.py --e2e > "$A/e2e.json" 2> "$A/e2e.log" || echo "e2e failed"
+python bench.py --e2e --out "$A/e2e.json" > /dev/null 2> "$A/e2e.log" \
+    || echo "e2e failed"
 
 echo "=== e2e bench (cnn, the reference transcript's workload): $(date)"
 # at the transcript's OWN global batch 1024 so vs_baseline is 1:1
-python bench.py --e2e --model cnn --batch 1024 \
-    > "$A/e2e_cnn.json" 2> "$A/e2e_cnn.log" || echo "e2e cnn failed"
+python bench.py --e2e --model cnn --batch 1024 --out "$A/e2e_cnn.json" \
+    > /dev/null 2> "$A/e2e_cnn.log" || echo "e2e cnn failed"
 
 echo "=== e2e bench (cnn, device-resident cache): $(date)"
 python bench.py --e2e --model cnn --batch 1024 --device_cache \
-    > "$A/e2e_cnn_cached.json" 2> "$A/e2e_cnn_cached.log" \
+    --out "$A/e2e_cnn_cached.json" > /dev/null 2> "$A/e2e_cnn_cached.log" \
     || echo "e2e cnn cached failed"
 
 echo "=== e2e bench (device-resident cache, the training default): $(date)"
-python bench.py --e2e --device_cache > "$A/e2e_cached.json" \
-    2> "$A/e2e_cached.log" || echo "e2e cached failed"
+python bench.py --e2e --device_cache --out "$A/e2e_cached.json" \
+    > /dev/null 2> "$A/e2e_cached.log" || echo "e2e cached failed"
 
-echo "=== compute bench: $(date)"
-python bench.py > "$A/compute.json" 2> "$A/compute.log" || echo "bench failed"
+echo "=== compute bench (LAST: snapshots the fresh e2e/fid above): $(date)"
+python bench.py --out "$A/compute.json" > /dev/null 2> "$A/compute.log" \
+    || echo "bench failed"
 
 echo "=== paper_standalone train: $(date)"
 if [ ! -f "$A/standalone.done" ]; then
@@ -76,11 +85,11 @@ echo "=== aux artifacts complete: $(date)"
 echo "=== mirror measured JSONs into the tracked artifacts/: $(date)"
 # workspace/ is gitignored and wiped between sessions; the tracked copies
 # are what bench.py's _attach_artifacts falls back to (and what the
-# end-of-round BENCH_r*.json detail is built from) when the fresh ones
-# are gone. Commit artifacts/ after a successful chain.
+# end-of-round BENCH_r*.json detail pointer resolves to) when the fresh
+# ones are gone. Commit artifacts/ after a successful chain.
 mkdir -p artifacts
 for j in fid.json e2e.json e2e_cnn.json e2e_cached.json e2e_cnn_cached.json \
-         compute.json; do
+         compute.json bench_detail.json; do
   if [ -s "$A/$j" ] && python -c "import json,sys; json.load(open('$A/$j'))" \
       2>/dev/null; then
     cp "$A/$j" "artifacts/$j"
