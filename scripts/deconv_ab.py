@@ -69,6 +69,12 @@ def main() -> int:
     results = {impl: [] for impl in arms}
     for block in range(args.blocks):
         for impl, (model, ts, s) in arms.items():
+            # compilation happened in each arm's warmup above, but any
+            # late retrace inside a timed block (donation-shape drift, an
+            # unexpected cache miss) would silently trace with whatever
+            # impl was set LAST — pin the arm's lowering so a retrace
+            # compiles the right one (ADVICE r3)
+            set_deconv_impl(impl)
             t0 = time.perf_counter()
             for _ in range(args.steps):
                 ts, _ = model.train(ts, s)

@@ -88,20 +88,23 @@ def elapsed_seconds(model, max_gap: float = 600.0, base: str | None = None):
     return int(total), bool((deltas >= gap).any())
 
 
-def fid_artifact() -> dict | None:
-    """Detail dict of fid.json (bench.py --fid output): the fresh
-    workspace/artifacts/ copy if this session ran aux_artifacts.sh,
+def fid_artifact() -> tuple[dict, str] | None:
+    """(detail dict, source path) of fid.json (bench.py --fid output): the
+    fresh workspace/artifacts/ copy if this session ran aux_artifacts.sh,
     else the committed artifacts/ copy (workspace/ is session-local);
-    None when neither exists."""
+    None when neither exists. The source path + the detail's provenance
+    are RENDERED into PARITY.md so a stale artifact attributed to a newer
+    campaign is self-describing (ADVICE r3)."""
     # normpath: with workspace/parity wiped (the exact scenario the
     # fallback exists for), a raw ..-relative open() fails ENOENT on the
     # missing intermediate dirs before ever reaching artifacts/.
     for base in (os.path.normpath(os.path.join(W, "..", "artifacts")),
                  os.path.normpath(os.path.join(W, "..", "..",
                                                "artifacts"))):
+        path = os.path.join(base, "fid.json")
         try:
-            with open(os.path.join(base, "fid.json")) as f:
-                return json.load(f)["detail"]
+            with open(path) as f:
+                return json.load(f)["detail"], path
         except (OSError, ValueError, KeyError):
             pass
     return None
@@ -181,7 +184,17 @@ def data_baselines():
     return {"mean_image_l1": mean_l1, "per_image_mean_l1": pim_l1}
 
 
-def main() -> int:
+def main(argv=None) -> int:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--allow-partial", action="store_true",
+                    help="Regenerate PARITY.md even when some anchors "
+                         "have no .done marker (mid-campaign use); the "
+                         "default refuses so a partial campaign can't "
+                         "clobber committed evidence with 'RUN NOT "
+                         "COMPLETE' rows (ADVICE r3).")
+    opts = ap.parse_args(argv)
+
     rows = []
     for model in ("cnn", "vae", "gan", "wgan", "iwgan"):
         if not os.path.exists(os.path.join(W, f"{model}.done")):
@@ -199,13 +212,17 @@ def main() -> int:
                                val_last=(va[-1][1] if va else None))
         rows.append((model, info))
 
-    if all(info is None for _, info in rows):
-        # nothing trained in this session's workspace (it is gitignored and
-        # wiped between sessions) -- refuse to clobber the committed
-        # campaign evidence with an all-"RUN NOT COMPLETE" report
-        print("no parity runs under", os.path.normpath(W),
+    missing = [m for m, info in rows if info is None]
+    if missing and not opts.allow_partial:
+        # some (or all) anchors not trained in this session's workspace
+        # (it is gitignored and wiped between sessions) -- refuse to
+        # clobber the committed campaign evidence with "RUN NOT COMPLETE"
+        # rows; pass --allow-partial for deliberate mid-campaign reports
+        print("missing parity runs under", os.path.normpath(W), ":",
+              ", ".join(missing),
               "-- leaving the committed PARITY.md untouched "
-              "(run scripts/parity_campaign.sh first)", file=sys.stderr)
+              "(run scripts/parity_campaign.sh first, or pass "
+              "--allow-partial)", file=sys.stderr)
         return 1
 
     base = data_baselines()
@@ -294,15 +311,23 @@ def main() -> int:
         "baseline on each side.)",
     ]
 
-    fid = fid_artifact()
-    if fid:
+    fid_src = fid_artifact()
+    if fid_src:
+        fid, fid_path = fid_src
+        prov = fid.get("provenance")
+        if isinstance(prov, dict):
+            prov = (f"measured {prov.get('measured_utc', '?')} UTC by "
+                    f"`{prov.get('argv', 'bench.py --fid')}`")
+        rel = os.path.relpath(fid_path, os.path.join(W, "..", ".."))
         lines += [
             "",
             "## Sample quality (IWGAN anchor, FID)",
             "",
             "The reference published no FID (SURVEY.md §6); the data-vs-data",
             "floor calibrates the scale (computed by `bench.py --fid` over",
-            "the trained parity IWGAN, committed `artifacts/fid.json`):",
+            f"the trained parity IWGAN; source `{rel}`"
+            + (f", {prov}" if prov else "")
+            + f", scored checkpoints `{fid.get('checkpoint_dir', '?')}`):",
             "",
             "| extractor | FID(generated, train) | FID(val, train) floor |",
             "|---|---|---|",

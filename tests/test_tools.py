@@ -186,12 +186,16 @@ class TestParityReportArtifacts:
         tracked.mkdir()
         (tracked / "fid.json").write_text(json.dumps(
             {"detail": {"fid_pixel": 0.28}}))
-        assert pr.fid_artifact()["fid_pixel"] == 0.28
+        detail, path = pr.fid_artifact()
+        assert detail["fid_pixel"] == 0.28
+        assert path.endswith(os.path.join("artifacts", "fid.json"))
         fresh = tmp_path / "workspace" / "artifacts"
         fresh.mkdir(parents=True)
         (fresh / "fid.json").write_text(json.dumps(
             {"detail": {"fid_pixel": 0.5}}))
-        assert pr.fid_artifact()["fid_pixel"] == 0.5
+        detail, path = pr.fid_artifact()
+        assert detail["fid_pixel"] == 0.5
+        assert "workspace" in path
 
     def test_committed_fid_artifact_parses(self):
         """The committed artifacts/fid.json (restored measurement) must
@@ -215,5 +219,74 @@ class TestParityReportArtifacts:
         out = tmp_path / "PARITY.md"
         out.write_text("committed evidence")
         monkeypatch.setattr(pr, "OUT", str(out))
-        assert pr.main() == 1
+        assert pr.main([]) == 1
         assert out.read_text() == "committed evidence"
+
+    def test_report_refuses_partial_campaign(self, tmp_path, monkeypatch):
+        """A PARTIALLY complete campaign (some .done markers) must also
+        refuse by default (ADVICE r3: one finished run used to overwrite
+        the committed report with mostly 'RUN NOT COMPLETE' rows)."""
+        pr = self._load()
+        w = tmp_path / "workspace" / "parity"
+        (w / "cnn").mkdir(parents=True)
+        (w / "cnn.done").touch()
+        monkeypatch.setattr(pr, "W", str(w))
+        out = tmp_path / "PARITY.md"
+        out.write_text("committed evidence")
+        monkeypatch.setattr(pr, "OUT", str(out))
+        assert pr.main([]) == 1
+        assert out.read_text() == "committed evidence"
+
+
+class TestThesisFigurePresets:
+    """paper_visualize --experiment 1|1b|2: the reference's reproducible
+    thesis figures (reference paper_visualize.py:100-321 + its run tables
+    at :339-381) rendered from the conventional --root layout that
+    scripts/thesis_runs.sh trains. Tiny runs here; missing runs must be
+    skipped like the reference's `if events is not None` guards."""
+
+    @pytest.fixture(scope="class")
+    def thesis_root(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("thesis")
+        adam = dict(g_lr=1e-3, g_beta1=0.5, g_beta2=0.999,
+                    synthetic_count=32, synthetic_shape=[65, 65, 3])
+        _train_run(root / "standalone" / "baseline", "paper_standalone",
+                   epochs=1, model_version="baseline", **adam)
+        _train_run(root / "cgan" / "baseline", "paper_cgan", epochs=1,
+                   model_version="baseline", d_lr=1e-3, d_beta1=0.5,
+                   d_beta2=0.999, **adam)
+        _train_run(root / "sampler" / "baseline_x", "paper_sampler",
+                   epochs=1, noise_layer="x", e_bn=False, d_lr=1e-3,
+                   d_beta1=0.5, d_beta2=0.999, **adam)
+        return str(root)
+
+    def test_experiment1(self, thesis_root, tmp_path):
+        import paper_visualize
+        out = str(tmp_path / "experiment1.pdf")
+        rc = paper_visualize.main(["--experiment", "1",
+                                   "--root", thesis_root, "--out", out])
+        assert rc == 0
+        assert os.path.getsize(out) > 0
+
+    def test_experiment1b(self, thesis_root, tmp_path):
+        import paper_visualize
+        out = str(tmp_path / "experiment1b.pdf")
+        rc = paper_visualize.main(["--experiment", "1b",
+                                   "--root", thesis_root, "--out", out])
+        assert rc == 0
+        assert os.path.getsize(out) > 0
+
+    def test_experiment2(self, thesis_root, tmp_path):
+        import paper_visualize
+        out = str(tmp_path / "experiment2.pdf")
+        rc = paper_visualize.main(["--experiment", "2",
+                                   "--root", thesis_root, "--out", out])
+        assert rc == 0
+        assert os.path.getsize(out) > 0
+
+    def test_empty_root_is_an_error(self, tmp_path):
+        import paper_visualize
+        rc = paper_visualize.main(["--experiment", "1",
+                                   "--root", str(tmp_path / "nothing"),
+                                   "--out", str(tmp_path / "x.pdf")])
+        assert rc == 1
