@@ -225,10 +225,22 @@ def run_e2e(args) -> dict:
                 f"uint8) did not fit the {args.device_cache_mb} MB budget — "
                 f"raise --device_cache_mb or drop --device_cache")
     else:
-        transfer, transform = make_place_stages(mesh, split,
-                                                keys=model.batch_keys)
-        pipeline = Pipeline(split, args.batch, seed=0, place=transfer,
-                            post=transform)
+        # --stream_group: batches per H2D transfer (default = the train
+        # call's own batch count — what the training loop's streaming
+        # fallback uses; 1 disables grouping for A/B)
+        group = (args.stream_group if args.stream_group > 0
+                 else batches_per_call)
+        if group > 1:
+            from hemx.data.pipeline import make_group_place_stages
+            transfer, transform = make_group_place_stages(
+                mesh, split, keys=model.batch_keys)
+            pipeline = Pipeline(split, args.batch, seed=0, place=transfer,
+                                post=transform, group=group)
+        else:
+            transfer, transform = make_place_stages(mesh, split,
+                                                    keys=model.batch_keys)
+            pipeline = Pipeline(split, args.batch, seed=0, place=transfer,
+                                post=transform)
 
     host_batch = next(split.iter_epoch(args.batch, shuffle=False))
     ts = model.init_state(jax.random.PRNGKey(0), host_batch)
@@ -286,8 +298,12 @@ def run_e2e(args) -> dict:
     epochs = sorted(one_epoch() for _ in range(max(args.e2e_epochs - 1, 1)))
     steady = float(np.median(epochs))
     img_s = calls_per_epoch * args.batch / steady
-    mode = ("device-resident cache" if args.device_cache
-            else "TFRecord+uint8 pipeline")
+    if args.device_cache:
+        mode = "device-resident cache"
+    else:
+        g = (args.stream_group if args.stream_group > 0 else batches_per_call)
+        mode = (f"TFRecord+uint8 pipeline, {g} batches/transfer" if g > 1
+                else "TFRecord+uint8 pipeline")
     result = {
         "metric": f"{args.model.upper()} end-to-end images/sec/chip "
                   f"({mode})",
@@ -311,9 +327,11 @@ def run_e2e(args) -> dict:
     return result
 
 
-def _load_run(run_dir: str, mesh):
+def _load_run(run_dir: str, mesh, epoch: int | None = None):
     """Rebuild a model from a run dir's options.json + latest checkpoint
-    (the JAX replacement for TF meta-graph surgery, paper_metrics.py:54-72)."""
+    (the JAX replacement for TF meta-graph surgery, paper_metrics.py:54-72).
+    ``epoch`` restores checkpoint-<epoch> instead of the latest (FID
+    trajectories over a run's retained checkpoints)."""
     import types
     import jax
     import hemx
@@ -331,8 +349,11 @@ def _load_run(run_dir: str, mesh):
     if model.batch_keys:
         host = {k: v for k, v in host.items() if k in model.batch_keys}
     ts = model.init_state(jax.random.PRNGKey(margs.seed), host)
+    path = None
+    if epoch is not None:
+        path = os.path.join(run_dir, f"checkpoint-{epoch}.msgpack")
     wrapper = CheckpointManager(run_dir).restore(
-        {"train_state": ts, "epoch": np.int64(0)})
+        {"train_state": ts, "epoch": np.int64(0)}, path=path)
     return model, wrapper["train_state"], splits, margs
 
 
@@ -350,7 +371,8 @@ def run_fid(args) -> dict:
     from hemx.parallel.mesh import make_mesh
 
     mesh = make_mesh(0)
-    model, ts, splits, margs = _load_run(args.dir, mesh)
+    model, ts, splits, margs = _load_run(args.dir, mesh,
+                                         epoch=args.fid_epoch)
     n = args.fid_samples
     place = make_place(mesh, splits["train"], keys=("image",))
 
@@ -382,6 +404,8 @@ def run_fid(args) -> dict:
         "extractor": "pixel8x8",
         "samples": int(n),
         "checkpoint_dir": args.dir,
+        "checkpoint_epoch": (int(args.fid_epoch)
+                             if args.fid_epoch is not None else "latest"),
     }
     if args.fid_encoder_dir:
         enc_model, enc_ts, _, _ = _load_run(args.fid_encoder_dir, mesh)
@@ -436,6 +460,11 @@ def main() -> None:
                         help="HBM budget for --device_cache (matches the "
                              "training flag --device_cache_mb).")
     parser.add_argument("--e2e_epochs", type=int, default=4)
+    parser.add_argument("--stream_group", type=int, default=0,
+                        help="--e2e streaming: batches shipped per H2D "
+                             "transfer (0 = the train call's batch count, "
+                             "the training-loop default; 1 = ungrouped "
+                             "per-batch transfers for A/B).")
     parser.add_argument("--cache", default="/tmp/hemx_bench")
     parser.add_argument("--fid", action="store_true",
                         help="Compute sample FID for a trained run (--dir).")
@@ -445,6 +474,9 @@ def main() -> None:
                         help="Trained cnn/vae run whose encoder is the "
                              "second FID extractor.")
     parser.add_argument("--fid_samples", type=int, default=4096)
+    parser.add_argument("--fid_epoch", type=int, default=None,
+                        help="Score checkpoint-<N> instead of the latest "
+                             "(FID-vs-epoch trajectories).")
     parser.add_argument("--out", default=None,
                         help="Write the FULL result JSON (detail included) "
                              "to this file; stdout always carries only the "

@@ -310,6 +310,79 @@ def make_place(mesh, split=None, keys=None):
     return lambda b: transform(transfer(b))
 
 
+def make_group_place_stages(mesh, split=None, keys=None):
+    """(transfer, transform) for GROUPED streaming placement
+    (``Pipeline(group=k)``).
+
+    ``transfer`` (prefetch thread) concatenates a LIST of k host batches
+    and ships them as ONE sharded device_put — one H2D transfer (and one
+    tunnel round trip) per k batches instead of k. ``transform``
+    (consumer thread ONLY — the single-enqueue-thread discipline of
+    make_place_stages) splits the super-batch back into k device batches
+    with one jitted program, applying the split's device transform to
+    each, with out_shardings pinned to the canonical batch layout (the
+    same contract as DeviceDataPipeline's grouped gather). Values and
+    order are identical to the per-batch path (equality-tested:
+    tests/test_data.py::TestGroupedStreaming).
+
+    Why: the per-batch streaming path pays a transfer-dispatch round trip
+    per batch; on the tunneled link that RTT — not bandwidth — dominates
+    (PERF.md "End-to-end"), and the device-resident cache's grouped
+    gather already showed one big program beats k small ones. The epoch
+    tail (k' < k batches) compiles one extra split program.
+    """
+    import jax
+    from hemx.parallel.dp import shard_batch
+    from hemx.parallel.mesh import batch_shardings
+
+    dt = getattr(split, "device_transform", None) if split is not None else None
+
+    def transfer(batches: list) -> tuple:
+        if keys:
+            batches = [{k: v for k, v in b.items() if k in keys}
+                       for b in batches]
+        k = len(batches)
+        if k == 1:
+            return 1, shard_batch(batches[0], mesh)
+        joined = {key: np.concatenate([b[key] for b in batches])
+                  for key in batches[0]}
+        return k, shard_batch(joined, mesh)
+
+    jitted: dict = {}
+
+    def transform(item) -> tuple:
+        import jax.numpy as jnp
+        k, joined = item
+        if k == 1:
+            b = joined
+            if dt is not None:
+                fn = jitted.get(1)
+                if fn is None:
+                    fn = jitted[1] = jax.jit(dt)
+                b = fn(b)
+            return (b,)
+        fn = jitted.get(k)
+        if fn is None:
+            # batch_spec depends only on rank and H, which splitting along
+            # axis 0 preserves — the super-batch's sharding tree IS each
+            # part's sharding tree
+            sh = batch_shardings(mesh, joined)
+
+            def split_transform(j, _k=k):
+                parts = {key: jnp.split(v, _k) for key, v in j.items()}
+                out = []
+                for i in range(_k):
+                    b = {key: v[i] for key, v in parts.items()}
+                    out.append(dt(b) if dt is not None else b)
+                return tuple(out)
+
+            fn = jitted[k] = jax.jit(
+                split_transform, out_shardings=tuple(sh for _ in range(k)))
+        return fn(joined)
+
+    return transfer, transform
+
+
 class DeviceDataPipeline:
     """Device-resident dataset feeding: the whole (compact, e.g. uint8)
     dataset is placed in device memory ONCE and batches are assembled
@@ -480,11 +553,18 @@ class Pipeline:
 
     Two-deep by default: while the device runs step N, the host assembles and
     transfers batch N+1 (replaces tf.data's prefetching; SURVEY.md §2.9 item 9).
+
+    ``group=k`` (with the make_group_place_stages place/post pair) ships k
+    consecutive batches per H2D transfer: the worker hands ``place`` a LIST
+    of k host batches (the epoch tail may be shorter) and the consumer
+    fans the tuple that ``post`` returns back out into single batches —
+    same values, same order, 1/k-th the transfer round trips.
     """
 
     def __init__(self, split: Split, global_batch: int, *, shuffle: bool = True,
                  seed: int = 0, place: Optional[Callable] = None,
-                 post: Optional[Callable] = None, depth: int = 2):
+                 post: Optional[Callable] = None, depth: int = 2,
+                 group: int = 1):
         self.split = split
         self.global_batch = global_batch
         self.shuffle = shuffle
@@ -494,18 +574,29 @@ class Pipeline:
         # enqueued from one thread — see make_place_stages)
         self.post = post or (lambda x: x)
         self.depth = depth
+        self.group = max(int(group), 1)
 
     def epoch(self, epoch: int) -> Iterator[dict]:
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         sentinel = object()
         err: list[BaseException] = []
+        grouped = self.group > 1
 
         def worker():
             try:
+                pending: list = []
                 for batch in self.split.iter_epoch(
                         self.global_batch, shuffle=self.shuffle,
                         seed=self.seed, epoch=epoch):
-                    q.put(self.place(batch))
+                    if not grouped:
+                        q.put(self.place(batch))
+                        continue
+                    pending.append(batch)
+                    if len(pending) == self.group:
+                        q.put(self.place(pending))
+                        pending = []
+                if pending:
+                    q.put(self.place(pending))
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
@@ -517,7 +608,10 @@ class Pipeline:
             item = q.get()
             if item is sentinel:
                 break
-            yield self.post(item)
+            if grouped:
+                yield from self.post(item)
+            else:
+                yield self.post(item)
         t.join()
         if err:
             raise err[0]

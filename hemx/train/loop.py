@@ -79,8 +79,26 @@ def train(model, splits, args, mesh, *, reset: bool = False) -> dict:
         term.message("Input: device-resident dataset cache "
                      "(on-chip batch gather, no per-step H2D)")
     else:
-        pipeline = Pipeline(train_split, global_batch, shuffle=args.shuffle,
-                            seed=args.seed, place=transfer, post=transform)
+        # streaming fallback (dataset over --device_cache_mb, multi-process,
+        # or host batch_transform): group each train() call's batches into
+        # ONE H2D transfer + one on-device split program — the per-batch
+        # path pays a transfer-dispatch round trip per batch, and on a
+        # tunneled link that RTT dominates (PERF.md "End-to-end")
+        # (grouping happens AFTER the host batch_transform inside
+        # iter_epoch, so per-batch augmentation rng is unaffected)
+        group = model.batches_per_train_call()
+        if group > 1:
+            from hemx.data.pipeline import make_group_place_stages
+            gtransfer, gtransform = make_group_place_stages(
+                mesh, train_split, keys=model.batch_keys)
+            pipeline = Pipeline(train_split, global_batch,
+                                shuffle=args.shuffle, seed=args.seed,
+                                place=gtransfer, post=gtransform,
+                                group=group)
+        else:
+            pipeline = Pipeline(train_split, global_batch,
+                                shuffle=args.shuffle, seed=args.seed,
+                                place=transfer, post=transform)
 
     # shapes + init
     host_batch = next(train_split.iter_epoch(global_batch, shuffle=False))

@@ -89,7 +89,8 @@ echo "=== mirror measured JSONs into the tracked artifacts/: $(date)"
 # ones are gone. Commit artifacts/ after a successful chain.
 mkdir -p artifacts
 for j in fid.json e2e.json e2e_cnn.json e2e_cached.json e2e_cnn_cached.json \
-         compute.json bench_detail.json; do
+         compute.json bench_detail.json fid_trajectory.json \
+         e2e_ungrouped.json e2e_cnn_g8.json perf_analysis.json; do
   if [ -s "$A/$j" ] && python -c "import json,sys; json.load(open('$A/$j'))" \
       2>/dev/null; then
     cp "$A/$j" "artifacts/$j"

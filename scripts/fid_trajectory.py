@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""FID-vs-epoch trajectory + cross-model comparison (VERDICT r3 missing #2).
+
+One process, one mesh, one pair of real/val feature sets; scores
+
+* the IWGAN anchor at epochs 10 / 50 / 100 (its campaign run keeps every
+  checkpoint),
+* the GAN and WGAN anchors at their final epoch,
+* the ``--gp_per_sample`` IWGAN ablation (corrected per-sample GP norm,
+  hemx/ops/losses.py) at its final epoch, and
+* optionally an extended-training IWGAN (epochs past 100) — together these
+  show whether the headline FID is limited by the 2017 DCGAN architecture
+  or by the framework.
+
+Writes workspace/artifacts/fid_trajectory.json; parity_report renders it
+into PARITY.md's Sample-quality section when present.
+
+Usage: python scripts/fid_trajectory.py [--samples 4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+W = os.path.join(os.path.dirname(__file__), "..", "workspace", "parity")
+OUT = os.path.join(os.path.dirname(__file__), "..", "workspace",
+                   "artifacts", "fid_trajectory.json")
+
+
+def main() -> int:
+    global W
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=4096)
+    ap.add_argument("--workspace", default=W,
+                    help="Campaign run root (default workspace/parity).")
+    ap.add_argument("--encoder_dir", default=None,
+                    help="Trained cnn/vae run for the encoder extractor "
+                         "(default <workspace>/cnn).")
+    ap.add_argument("--epochs", type=int, nargs="*", default=[10, 50, 100],
+                    help="IWGAN trajectory checkpoints to score.")
+    ap.add_argument("--out", default=OUT)
+    a = ap.parse_args()
+    W = a.workspace
+    if a.encoder_dir is None:
+        a.encoder_dir = os.path.join(W, "cnn")
+
+    import jax
+    import bench
+    from hemx.data.pipeline import make_place
+    from hemx.metrics.fid import (encoder_features, fid_from_images,
+                                  pixel_features)
+    from hemx.parallel.mesh import make_mesh
+    from hemx.train.checkpoint import CheckpointManager
+
+    mesh = make_mesh(0)
+
+    # one shared real/val feature base (all campaign runs share the same
+    # synthetic dataset + seed, so the floors are common)
+    enc_model, enc_ts, _, _ = bench._load_run(a.encoder_dir, mesh)
+    ext = encoder_features(enc_model, enc_ts)
+
+    reals = vals = None
+    rows = []
+
+    def score(run_dir, epoch, label):
+        nonlocal reals, vals
+        if not os.path.isdir(run_dir):
+            print(f"skip {label}: no run at {run_dir}")
+            return
+        if epoch is not None and not os.path.exists(
+                os.path.join(run_dir, f"checkpoint-{epoch}.msgpack")):
+            print(f"skip {label}: no checkpoint-{epoch}")
+            return
+        model, ts, splits, margs = bench._load_run(run_dir, mesh,
+                                                   epoch=epoch)
+        if reals is None:
+            place = make_place(mesh, splits["train"], keys=("image",))
+
+            def real_images(split, count):
+                out, got = [], 0
+                gb = margs.batch_size * mesh.devices.size
+                for b in split.iter_epoch(gb, shuffle=False):
+                    img = np.asarray(jax.device_get(place(b)["image"]))
+                    out.append(img)
+                    got += img.shape[0]
+                    if got >= count:
+                        break
+                return np.concatenate(out)[:count]
+
+            reals = real_images(splits["train"], a.samples)
+            vals = real_images(splits.get("validate", splits["train"]),
+                               a.samples)
+        fakes, per = [], margs.batch_size * mesh.devices.size
+        for i in range(-(-a.samples // per)):
+            f = model._sample(ts, jax.random.fold_in(jax.random.PRNGKey(1),
+                                                     i), per)
+            fakes.append(np.asarray(jax.device_get(f)))
+        fakes = np.concatenate(fakes)[:a.samples]
+        row = {
+            "run": label, "dir": os.path.relpath(run_dir),
+            "epoch": epoch if epoch is not None else "latest",
+            "fid_pixel": round(fid_from_images(reals, fakes), 4),
+            "fid_encoder": round(fid_from_images(reals, fakes, ext), 4),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    # trajectory over the IWGAN anchor's retained checkpoints
+    iwgan = os.path.join(W, "iwgan")
+    for ep in a.epochs:
+        score(iwgan, ep, f"iwgan@{ep}")
+    # extended-training checkpoints, if scripts/round4_chain.sh trained them
+    iwgan300 = os.path.join(W, "iwgan300")
+    for ep in (200, 300):
+        score(iwgan300, ep, f"iwgan@{ep}")
+    # cross-model at final epoch
+    score(os.path.join(W, "gan"), None, "gan@100")
+    score(os.path.join(W, "wgan"), None, "wgan@100")
+    # ablation: corrected per-sample GP norm
+    score(os.path.join(W, "iwgan_gps"), None, "iwgan_gp_per_sample@100")
+
+    if not rows:
+        print("no runs scored", file=sys.stderr)
+        return 1
+    floors = {
+        "fid_pixel_data_floor": round(fid_from_images(reals, vals), 4),
+        "fid_encoder_data_floor": round(fid_from_images(reals, vals, ext),
+                                        4),
+    }
+    result = {
+        "rows": rows, **floors, "samples": a.samples,
+        "encoder_dir": os.path.relpath(a.encoder_dir),
+        "provenance": {
+            "measured_utc": time.strftime("%Y-%m-%d %H:%M:%S",
+                                          time.gmtime()),
+            "argv": " ".join(sys.argv),
+        },
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(a.out)), exist_ok=True)
+    with open(a.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {a.out} ({len(rows)} rows)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -110,6 +110,22 @@ def fid_artifact() -> tuple[dict, str] | None:
     return None
 
 
+def fid_trajectory_artifact() -> tuple[dict, str] | None:
+    """(content, source path) of scripts/fid_trajectory.py's output —
+    fresh workspace/artifacts/ copy first, committed artifacts/ fallback
+    (same discipline as fid_artifact)."""
+    for base in (os.path.normpath(os.path.join(W, "..", "artifacts")),
+                 os.path.normpath(os.path.join(W, "..", "..",
+                                               "artifacts"))):
+        path = os.path.join(base, "fid_trajectory.json")
+        try:
+            with open(path) as f:
+                return json.load(f), path
+        except (OSError, ValueError):
+            pass
+    return None
+
+
 def _hist_moments(h: dict):
     """(mean, std) from a HistogramProto's exact sum / sum_squares."""
     n = h.get("num") or 0
@@ -351,6 +367,32 @@ def main(argv=None) -> int:
             ]
         except (KeyError, ZeroDivisionError, TypeError):
             pass
+
+    traj_src = fid_trajectory_artifact()
+    if traj_src:
+        traj, traj_path = traj_src
+        prov = traj.get("provenance", {})
+        rel = os.path.relpath(traj_path, os.path.join(W, "..", ".."))
+        pf = traj.get("fid_pixel_data_floor")
+        ef = traj.get("fid_encoder_data_floor")
+        lines += [
+            "",
+            "### FID through training, across models, and under the GP",
+            "### ablation",
+            "",
+            f"(source `{rel}`, measured {prov.get('measured_utc', '?')} UTC",
+            f"by `{prov.get('argv', 'scripts/fid_trajectory.py')}`;",
+            f"data-vs-data floors: pixel {pf}, encoder {ef};",
+            f"{traj.get('samples', '?')} samples/row, shared extractors)",
+            "",
+            "| run | epoch | FID pixel | FID encoder | pixel/floor | encoder/floor |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in traj.get("rows", []):
+            rp = (f"{r['fid_pixel']/pf:.1f}×" if pf else "—")
+            re_ = (f"{r['fid_encoder']/ef:.1f}×" if ef else "—")
+            lines.append(f"| {r['run']} | {r['epoch']} | {r['fid_pixel']} "
+                         f"| {r['fid_encoder']} | {rp} | {re_} |")
 
     stat_rows = [(m, sample_statistics(m)) for m in ("gan", "wgan", "iwgan")]
     if any(r for _, r in stat_rows):

@@ -614,3 +614,86 @@ class TestResize:
         model = get_model("cnn")(args, mesh)
         result = hemx.train(model, splits, args, mesh)
         assert result["epoch"] == 1
+
+
+class TestGroupedStreaming:
+    """Grouped streaming placement (hemx.data.pipeline.make_group_place_stages
+    + Pipeline(group=k)): one H2D transfer + one on-device split program per
+    k batches must yield byte-identical batches, in order, vs the per-batch
+    streaming path — including the epoch tail that doesn't fill a group.
+    This is the training loop's streaming fallback for models that pull
+    several batches per train() call (WGAN/IWGAN critic loops)."""
+
+    def _split(self, count=112):
+        from hemx.data.synthetic import SyntheticDataset
+        args = make_args(synthetic_count=count, synthetic_u8=True,
+                         synthetic_shape=[32, 32, 3], batch_size=2)
+        return SyntheticDataset.get_datasets(args)["train"]
+
+    def test_batches_match_per_batch_pipeline(self):
+        import jax
+        from hemx.data.pipeline import (Pipeline, make_group_place_stages,
+                                        make_place_stages)
+        from hemx.parallel.mesh import make_mesh
+
+        split = self._split(count=112)  # 7 batches of 16: 2x3 + tail of 1
+        mesh = make_mesh(0)
+        gb = 16
+        transfer, transform = make_place_stages(mesh, split, keys=("image",))
+        per = Pipeline(split, gb, shuffle=True, seed=5, place=transfer,
+                       post=transform)
+        gt, gf = make_group_place_stages(mesh, split, keys=("image",))
+        grp = Pipeline(split, gb, shuffle=True, seed=5, place=gt, post=gf,
+                       group=3)
+        for e in range(2):
+            got = [np.asarray(jax.device_get(b["image"]))
+                   for b in grp.epoch(e)]
+            want = [np.asarray(jax.device_get(b["image"]))
+                    for b in per.epoch(e)]
+            assert len(got) == len(want) == 7
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(g, w)
+            # normalized on-chip: float in [0,1], not raw uint8
+            assert got[0].dtype == np.float32
+            assert 0.0 <= got[0].min() and got[0].max() <= 1.0
+
+    def test_training_equality_through_grouped_stream(self):
+        """A WGAN train() call fed by the grouped stream must produce the
+        same params as the per-batch stream (the loop.py streaming
+        fallback wiring)."""
+        import jax
+        from hemx.data.pipeline import (Pipeline, make_group_place_stages,
+                                        make_place_stages)
+        from hemx.models.plugin import get_model
+        from hemx.parallel.mesh import make_mesh
+
+        mesh = make_mesh(0)
+        split = self._split(count=96)
+        gb = 16
+
+        def run(grouped: bool):
+            margs = make_args(model="wgan", batch_size=gb // mesh.devices.size,
+                              optimizer="sgd", lr=1e-3, n_disc_train=2,
+                              synthetic_count=96, synthetic_u8=True,
+                              synthetic_shape=[32, 32, 3])
+            model = get_model("wgan")(margs, mesh)
+            if grouped:
+                t, f = make_group_place_stages(mesh, split, keys=("image",))
+                pipe = Pipeline(split, gb, shuffle=True, seed=4, place=t,
+                                post=f, group=model.batches_per_train_call())
+            else:
+                t, f = make_place_stages(mesh, split, keys=("image",))
+                pipe = Pipeline(split, gb, shuffle=True, seed=4, place=t,
+                                post=f)
+            host = next(split.iter_epoch(gb, shuffle=False))
+            ts = model.init_state(jax.random.PRNGKey(margs.seed), host)
+            s = iter(list(pipe.epoch(0)))
+            ts, _ = model.train(ts, s)
+            return [np.asarray(jax.device_get(l))
+                    for l in jax.tree_util.tree_leaves(ts["params"])]
+
+        a = run(grouped=True)
+        b = run(grouped=False)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
