@@ -227,9 +227,11 @@ def run_e2e(args) -> dict:
     else:
         # --stream_group: batches per H2D transfer (default = the train
         # call's own batch count — what the training loop's streaming
-        # fallback uses; 1 disables grouping for A/B)
-        group = (args.stream_group if args.stream_group > 0
-                 else batches_per_call)
+        # fallback uses; 1 disables grouping for A/B). getattr: run_e2e
+        # is also driven programmatically with namespaces that predate
+        # the flag (tests/test_bench.py).
+        sg = getattr(args, "stream_group", 0)
+        group = sg if sg > 0 else batches_per_call
         if group > 1:
             from hemx.data.pipeline import make_group_place_stages
             transfer, transform = make_group_place_stages(
@@ -301,9 +303,8 @@ def run_e2e(args) -> dict:
     if args.device_cache:
         mode = "device-resident cache"
     else:
-        g = (args.stream_group if args.stream_group > 0 else batches_per_call)
-        mode = (f"TFRecord+uint8 pipeline, {g} batches/transfer" if g > 1
-                else "TFRecord+uint8 pipeline")
+        mode = (f"TFRecord+uint8 pipeline, {group} batches/transfer"
+                if group > 1 else "TFRecord+uint8 pipeline")
     result = {
         "metric": f"{args.model.upper()} end-to-end images/sec/chip "
                   f"({mode})",
@@ -357,6 +358,33 @@ def _load_run(run_dir: str, mesh, epoch: int | None = None):
     return model, wrapper["train_state"], splits, margs
 
 
+def collect_real_images(split, place, global_batch: int, count: int):
+    """First ``count`` images of a split through the device placement
+    (shared by run_fid and scripts/fid_trajectory.py)."""
+    import jax
+    out, got = [], 0
+    for b in split.iter_epoch(global_batch, shuffle=False):
+        img = np.asarray(jax.device_get(place(b)["image"]))
+        out.append(img)
+        got += img.shape[0]
+        if got >= count:
+            break
+    return np.concatenate(out)[:count]
+
+
+def sample_fakes(model, ts, per: int, count: int, seed: int = 1):
+    """``count`` generator samples in ``per``-sized jitted chunks with the
+    deterministic fold_in(PRNGKey(seed), chunk) key schedule (shared by
+    run_fid and scripts/fid_trajectory.py — one schedule, one FID)."""
+    import jax
+    fakes = []
+    for i in range(-(-count // per)):
+        f = model._sample(ts, jax.random.fold_in(jax.random.PRNGKey(seed),
+                                                 i), per)
+        fakes.append(np.asarray(jax.device_get(f)))
+    return np.concatenate(fakes)[:count]
+
+
 def run_fid(args) -> dict:
     """FID between a trained generator's samples and its dataset.
 
@@ -364,7 +392,6 @@ def run_fid(args) -> dict:
     cnn/vae encoder. The reference published no FID (SURVEY.md §6); the
     data-vs-data FID floor is reported for calibration.
     """
-    import jax
     from hemx.data.pipeline import make_place
     from hemx.metrics.fid import (encoder_features, fid_from_images,
                                   pixel_features)
@@ -375,28 +402,11 @@ def run_fid(args) -> dict:
                                          epoch=args.fid_epoch)
     n = args.fid_samples
     place = make_place(mesh, splits["train"], keys=("image",))
-
-    def real_images(split, count):
-        out = []
-        got = 0
-        gb = margs.batch_size * mesh.devices.size
-        for b in split.iter_epoch(gb, shuffle=False):
-            img = np.asarray(jax.device_get(place(b)["image"]))
-            out.append(img)
-            got += img.shape[0]
-            if got >= count:
-                break
-        return np.concatenate(out)[:count]
-
-    reals = real_images(splits["train"], n)
-    vals = real_images(splits.get("validate", splits["train"]), n)
-    fakes = []
-    per = margs.batch_size * mesh.devices.size
-    for i in range(-(-n // per)):
-        f = model._sample(ts, jax.random.fold_in(jax.random.PRNGKey(1), i),
-                          per)
-        fakes.append(np.asarray(jax.device_get(f)))
-    fakes = np.concatenate(fakes)[:n]
+    gb = margs.batch_size * mesh.devices.size
+    reals = collect_real_images(splits["train"], place, gb, n)
+    vals = collect_real_images(splits.get("validate", splits["train"]),
+                               place, gb, n)
+    fakes = sample_fakes(model, ts, gb, n)
 
     out = {
         "fid_pixel": round(fid_from_images(reals, fakes), 4),
@@ -515,7 +525,7 @@ def main() -> None:
         short["vs_baseline_note"] = result["vs_baseline_note"]
     detail = result.get("detail", {})
     for k in ("step_time_s", "steady_epoch_s", "first_epoch_penalty",
-              "n_chips", "samples"):
+              "n_chips", "samples", "fid_encoder", "checkpoint_epoch"):
         if k in detail:
             short[k] = detail[k]
     if detail_paths:
@@ -538,7 +548,12 @@ def _write_detail(result: dict, args) -> list[str]:
                                 "bench_detail.json"),
                    os.path.join(root, "artifacts", "bench_detail.json")]
     else:
-        return []
+        # ad-hoc --fid/--e2e without --out: the full detail (encoder FID,
+        # data floors, epoch bands ...) must land SOMEWHERE — stdout is
+        # the short line only. Scripts pass explicit --out; this default
+        # is one rotating file per mode.
+        name = "fid_last.json" if args.fid else "e2e_last.json"
+        targets = [os.path.join(root, "workspace", "artifacts", name)]
     written = []
     for t in targets:
         os.makedirs(os.path.dirname(os.path.abspath(t)), exist_ok=True)

@@ -55,11 +55,15 @@ def main() -> int:
     import jax
     import bench
     from hemx.data.pipeline import make_place
-    from hemx.metrics.fid import (encoder_features, fid_from_images,
-                                  pixel_features)
+    from hemx.metrics.fid import encoder_features, fid_from_images
+    from hemx.ops.layers import set_compute_dtype, set_deconv_impl
     from hemx.parallel.mesh import make_mesh
-    from hemx.train.checkpoint import CheckpointManager
 
+    # identical numerics to `bench.py --fid` (whose main() sets the bf16
+    # default before run_fid): both FID producers land in the same
+    # PARITY.md section and must reproduce each other
+    set_compute_dtype("bfloat16")
+    set_deconv_impl("dilated")
     mesh = make_mesh(0)
 
     # one shared real/val feature base (all campaign runs share the same
@@ -81,29 +85,15 @@ def main() -> int:
             return
         model, ts, splits, margs = bench._load_run(run_dir, mesh,
                                                    epoch=epoch)
+        gb = margs.batch_size * mesh.devices.size
         if reals is None:
             place = make_place(mesh, splits["train"], keys=("image",))
-
-            def real_images(split, count):
-                out, got = [], 0
-                gb = margs.batch_size * mesh.devices.size
-                for b in split.iter_epoch(gb, shuffle=False):
-                    img = np.asarray(jax.device_get(place(b)["image"]))
-                    out.append(img)
-                    got += img.shape[0]
-                    if got >= count:
-                        break
-                return np.concatenate(out)[:count]
-
-            reals = real_images(splits["train"], a.samples)
-            vals = real_images(splits.get("validate", splits["train"]),
-                               a.samples)
-        fakes, per = [], margs.batch_size * mesh.devices.size
-        for i in range(-(-a.samples // per)):
-            f = model._sample(ts, jax.random.fold_in(jax.random.PRNGKey(1),
-                                                     i), per)
-            fakes.append(np.asarray(jax.device_get(f)))
-        fakes = np.concatenate(fakes)[:a.samples]
+            reals = bench.collect_real_images(splits["train"], place, gb,
+                                              a.samples)
+            vals = bench.collect_real_images(
+                splits.get("validate", splits["train"]), place, gb,
+                a.samples)
+        fakes = bench.sample_fakes(model, ts, gb, a.samples)
         row = {
             "run": label, "dir": os.path.relpath(run_dir),
             "epoch": epoch if epoch is not None else "latest",

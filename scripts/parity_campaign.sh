@@ -15,6 +15,9 @@ set -u
 cd "$(dirname "$0")/.."
 W=workspace/parity
 mkdir -p "$W"
+# liveness marker for scripts/round4_chain.sh (checked with kill -0;
+# never by process-name pattern matching)
+echo $$ > "$W/campaign.pid"
 
 COMMON="--dataset synthetic --synthetic_count 16384 --synthetic_eval_count 4096 \
  --synthetic_u8 --synthetic_shape 64 64 3 --batch_size 512 --epochs 100 \

@@ -118,12 +118,17 @@ def main() -> int:
 
             return d_loss + 10.0 * L.gradient_penalty(d_apply, x, g, alpha)
 
-        grads = jax.grad(d_loss_fn)(ts["params"]["discriminator"])
+        d_loss, grads = jax.value_and_grad(d_loss_fn)(
+            ts["params"]["discriminator"])
         new_d, new_opt = common.apply_updates_group(
             model.d_optimizer, grads, ts["opt"]["d"],
             ts["params"]["discriminator"])
-        return {**ts, "params": {**ts["params"], "discriminator": new_d},
-                "opt": {**ts["opt"], "d": new_opt}, "rng": nb}
+        # metrics are RETURNED, as in the real step — an unused value
+        # would be dead-code-eliminated out of the compiled executable
+        # and the cost analysis would under-count vs the measured time
+        return ({**ts, "params": {**ts["params"], "discriminator": new_d},
+                 "opt": {**ts["opt"], "d": new_opt}, "rng": nb},
+                {"d_loss": d_loss})
 
     dc = cost(d_step)
 
@@ -153,9 +158,14 @@ def main() -> int:
         new_g, new_opt = common.apply_updates_group(
             model.g_optimizer, grads, ts["opt"]["g"],
             ts["params"]["generator"])
-        return {**ts, "params": {**ts["params"], "generator": new_g},
-                "mstate": {**ts["mstate"], "generator": ms_g},
-                "opt": {**ts["opt"], "g": new_opt}, "rng": nb}
+        # d_loss is returned so the D(x) forward — present in the real
+        # step's metrics (gan.py g_step) — survives compilation and is
+        # counted by cost_analysis, matching what g_time measures
+        return ({**ts, "params": {**ts["params"], "generator": new_g},
+                 "mstate": {**ts["mstate"], "generator": ms_g},
+                 "opt": {**ts["opt"], "g": new_opt}, "rng": nb},
+                {"g_loss": g_loss,
+                 "d_loss": L.wgan_d_loss(d_real, d_fake)})
 
     gc = cost(g_step)
 
