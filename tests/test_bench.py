@@ -163,3 +163,64 @@ class TestBaselineFlagging:
         bench._flag_nonbaseline_config(r, self._args(256, 64), "iwgan")
         assert r["vs_baseline"] is None
         assert "bs512" in r["vs_baseline_note"]
+
+
+class TestStdoutContract:
+    """BENCH_r03 came back `parsed: null` because bench's stdout line
+    outgrew the driver's tail capture. Pin the contract: stdout is ONE
+    short json.loads-able line regardless of how much artifact detail is
+    attached; the full result lands in the detail files."""
+
+    def _fake_result(self):
+        return {"metric": "IWGAN train images/sec/chip (bs512)",
+                "value": 1178.0, "unit": "images/sec/chip",
+                "vs_baseline": 2.322,
+                "detail": {"step_time_s": 0.4346, "n_chips": 1}}
+
+    def test_one_short_parseable_line(self, tmp_path, monkeypatch, capsys):
+        import sys
+        fake_file = tmp_path / "bench.py"
+        fake_file.write_text("")
+        monkeypatch.setattr(bench, "__file__", str(fake_file))
+        # bulky attached artifacts must NOT leak into stdout
+        art = tmp_path / "workspace" / "artifacts"
+        art.mkdir(parents=True)
+        (art / "fid.json").write_text(json.dumps(
+            {"detail": {"fid_pixel": 0.28, "provenance": "x" * 2000}}))
+        (art / "e2e.json").write_text(json.dumps(
+            {"detail": {"steady_epoch_s": 4.7, "pad": "y" * 2000}}))
+        monkeypatch.setattr(bench, "run_compute",
+                            lambda args: self._fake_result())
+        monkeypatch.setattr(sys, "argv", ["bench.py"])
+        bench.main()
+        out = capsys.readouterr().out.strip()
+        assert "\n" not in out, "stdout must be exactly one line"
+        assert len(out) < 1000, f"headline line too long: {len(out)}"
+        line = json.loads(out)
+        for k in ("metric", "value", "unit", "vs_baseline", "step_time_s",
+                  "n_chips", "detail_file"):
+            assert k in line, k
+        assert line["value"] == 1178.0
+        # the full detail (attached artifacts included) is in the files
+        detail = json.loads(
+            (tmp_path / "artifacts" / "bench_detail.json").read_text())
+        assert detail["detail"]["fid"]["fid_pixel"] == 0.28
+        assert detail["detail"]["e2e"]["steady_epoch_s"] == 4.7
+        assert detail["detail"]["provenance"]["argv"] == "bench.py"
+        fresh = json.loads((art / "bench_detail.json").read_text())
+        assert fresh["value"] == 1178.0
+
+    def test_explicit_out_file(self, tmp_path, monkeypatch, capsys):
+        import sys
+        fake_file = tmp_path / "bench.py"
+        fake_file.write_text("")
+        monkeypatch.setattr(bench, "__file__", str(fake_file))
+        monkeypatch.setattr(bench, "run_compute",
+                            lambda args: self._fake_result())
+        out_path = tmp_path / "r.json"
+        monkeypatch.setattr(sys, "argv", ["bench.py", "--out",
+                                          str(out_path)])
+        bench.main()
+        line = json.loads(capsys.readouterr().out.strip())
+        assert line["detail_file"].endswith("r.json")
+        assert json.loads(out_path.read_text())["value"] == 1178.0
