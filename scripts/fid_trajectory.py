@@ -107,9 +107,21 @@ def main() -> int:
     iwgan = os.path.join(W, "iwgan")
     for ep in a.epochs:
         score(iwgan, ep, f"iwgan@{ep}")
-    # extended-training checkpoints, if scripts/round4_chain.sh trained them
+    # extended-training run (campaign's iwgan300): fixed waypoints plus
+    # the latest retained checkpoint past 100 — the run may still be
+    # mid-flight when pass 1 scores it
     iwgan300 = os.path.join(W, "iwgan300")
-    for ep in (200, 300):
+    eps = {150, 200, 300}
+    if os.path.isdir(iwgan300):
+        from hemx.train.checkpoint import CheckpointManager
+        have = [e for e, _ in CheckpointManager(iwgan300).checkpoints()]
+        latest = max((e for e in have if e > 100), default=None)
+        if latest is not None:
+            eps.add(latest)
+        eps = sorted(e for e in eps if e in have)
+    else:
+        eps = []
+    for ep in eps:
         score(iwgan300, ep, f"iwgan@{ep}")
     # cross-model at final epoch
     score(os.path.join(W, "gan"), None, "gan@100")

@@ -1,9 +1,17 @@
 #!/usr/bin/env bash
-# Round-4 post-campaign chain: wait for the parity campaign, then produce
-# every TPU-dependent round artifact. Run detached (setsid nohup) so it
-# survives the driving session. Campaign liveness is checked via the PID
-# file the launcher writes (workspace/parity/campaign.pid) — never by
-# process-name pattern matching.
+# Round-4 post-campaign chain, two passes:
+#
+#   pass 1 — as soon as the FIVE ANCHORS are done (the iwgan_gps /
+#            iwgan300 FID-context extras may still be training): parity
+#            report, FID trajectory (skips missing extras), aux
+#            artifacts, thesis figures, perf analysis, deconv A/B.
+#   pass 2 — when the extras finish (or the campaign exits): re-run the
+#            FID trajectory + parity report so the extra rows land, and
+#            re-mirror.
+#
+# Run detached (setsid nohup). Campaign liveness is checked via the PID
+# file parity_campaign.sh writes (workspace/parity/campaign.pid) — never
+# by process-name pattern matching.
 set -u
 cd "$(dirname "$0")/.."
 A=workspace/artifacts
@@ -17,8 +25,7 @@ anchors_done() {
   return 0
 }
 
-all_done() {
-  anchors_done || return 1
+extras_done() {
   for m in iwgan_gps iwgan300; do
     [ -f "$W/$m.done" ] || return 1
   done
@@ -29,28 +36,37 @@ campaign_alive() {
   [ -f "$W/campaign.pid" ] && kill -0 "$(cat "$W/campaign.pid")" 2>/dev/null
 }
 
-echo "=== chain: waiting for campaign ($(date))"
-until all_done; do
+mirror() {
+  mkdir -p artifacts
+  for j in fid.json e2e.json e2e_cnn.json e2e_cached.json \
+           e2e_cnn_cached.json compute.json bench_detail.json \
+           fid_trajectory.json e2e_ungrouped.json e2e_cnn_g8.json \
+           perf_analysis.json perf_analysis_phase_split.json; do
+    if [ -s "$A/$j" ] && python -c "import json; json.load(open('$A/$j'))" \
+        2>/dev/null; then
+      cp "$A/$j" "artifacts/$j"
+    fi
+  done
+}
+
+echo "=== chain: waiting for the five anchors ($(date))"
+until anchors_done; do
   if ! campaign_alive; then
     sleep 10
-    if ! all_done; then
-      if anchors_done; then
-        echo "=== chain: campaign gone; anchors done, extras missing — continuing ($(date))"
-        break
-      fi
-      echo "=== chain: campaign process gone but anchors not done ($(date)) — aborting"
+    if ! anchors_done; then
+      echo "=== chain: campaign gone but anchors not done ($(date)) — aborting"
       exit 255
     fi
   fi
   sleep 30
 done
-echo "=== chain: campaign done ($(date))"
+echo "=== chain: anchors done ($(date)) — pass 1"
 
 echo "=== chain: parity report"
 python scripts/parity_report.py > "$A/parity_report.log" 2>&1 \
   || echo "parity_report failed"
 
-echo "=== chain: fid trajectory (epochs 10/50/100 + gan/wgan + ablations)"
+echo "=== chain: fid trajectory (extras may be skipped this pass)"
 python scripts/fid_trajectory.py > "$A/fid_trajectory.log" 2>&1 \
   || echo "fid_trajectory failed"
 
@@ -78,14 +94,25 @@ echo "=== chain: interleaved deconv A/B"
 python scripts/deconv_ab.py > "$A/deconv_ab.log" 2>&1 \
   || echo "deconv_ab failed"
 
-echo "=== chain: final mirror of late artifacts into tracked artifacts/"
-for j in perf_analysis.json perf_analysis_phase_split.json \
-         fid_trajectory.json e2e_ungrouped.json e2e_cnn_g8.json; do
-  if [ -s "$A/$j" ] && python -c "import json; json.load(open('$A/$j'))" \
-      2>/dev/null; then
-    cp "$A/$j" "artifacts/$j"
+mirror
+touch "$A/chain_pass1.done"
+echo "=== chain: pass 1 complete ($(date))"
+
+echo "=== chain: waiting for FID-context extras"
+until extras_done; do
+  if ! campaign_alive; then
+    echo "=== chain: campaign exited; scoring whatever extras exist ($(date))"
+    break
   fi
+  sleep 60
 done
 
+echo "=== chain: fid trajectory pass 2 ($(date))"
+python scripts/fid_trajectory.py > "$A/fid_trajectory2.log" 2>&1 \
+  || echo "fid_trajectory pass 2 failed"
+python scripts/parity_report.py > "$A/parity_report3.log" 2>&1 \
+  || echo "parity_report pass 3 failed"
+
+mirror
 echo "=== chain: complete ($(date))"
 touch "$A/chain.done"
