@@ -49,8 +49,14 @@ mirror() {
   done
 }
 
-echo "=== chain: waiting for the five anchors ($(date))"
-until anchors_done; do
+# Pass 1 waits for anchors AND extras (or campaign exit with anchors
+# done): the chip is behind ONE tunnel session and concurrent TPU
+# processes (pass-1 benches vs a still-training extra) are untested —
+# serialize instead. The long iwgan300 extension is pre-skipped when its
+# .done marker was touched by the operator (fid_trajectory then simply
+# has no >100-epoch rows).
+echo "=== chain: waiting for the campaign ($(date))"
+until anchors_done && { extras_done || ! campaign_alive; }; do
   if ! campaign_alive; then
     sleep 10
     if ! anchors_done; then
@@ -60,7 +66,7 @@ until anchors_done; do
   fi
   sleep 30
 done
-echo "=== chain: anchors done ($(date)) — pass 1"
+echo "=== chain: campaign work done ($(date)) — pass 1"
 
 echo "=== chain: parity report"
 python scripts/parity_report.py > "$A/parity_report.log" 2>&1 \
