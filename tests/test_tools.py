@@ -237,6 +237,51 @@ class TestParityReportArtifacts:
         assert pr.main([]) == 1
         assert out.read_text() == "committed evidence"
 
+    def test_fid_trajectory_rendering(self, tmp_path, monkeypatch):
+        """When scripts/fid_trajectory.py's artifact exists, the report
+        renders the FID-through-training table with floor ratios and
+        provenance (VERDICT r3 missing #2)."""
+        import json
+        pr = self._load()
+        w = tmp_path / "workspace" / "parity"
+        w.mkdir(parents=True)
+        monkeypatch.setattr(pr, "W", str(w))
+        art = tmp_path / "workspace" / "artifacts"
+        art.mkdir()
+        (art / "fid_trajectory.json").write_text(json.dumps({
+            "rows": [
+                {"run": "iwgan@10", "epoch": 10, "fid_pixel": 1.0,
+                 "fid_encoder": 300.0},
+                {"run": "iwgan@100", "epoch": 100, "fid_pixel": 0.28,
+                 "fid_encoder": 98.9},
+                {"run": "gan@100", "epoch": "latest", "fid_pixel": 0.5,
+                 "fid_encoder": 150.0},
+            ],
+            "fid_pixel_data_floor": 0.046,
+            "fid_encoder_data_floor": 22.55,
+            "samples": 4096,
+            "provenance": {"measured_utc": "2026-08-19 15:00:00",
+                           "argv": "scripts/fid_trajectory.py"},
+        }))
+        got = pr.fid_trajectory_artifact()
+        assert got is not None
+        traj, path = got
+        assert traj["rows"][1]["fid_encoder"] == 98.9
+        assert "workspace" in path
+        # and the full report renders it once runs exist: fake the five
+        # .done markers with empty event dirs -> rows render as incomplete
+        # but the trajectory section must still appear
+        for m in ("cnn", "vae", "gan", "wgan", "iwgan"):
+            (w / m / "train").mkdir(parents=True)
+            (w / f"{m}.done").touch()
+        out = tmp_path / "PARITY.md"
+        monkeypatch.setattr(pr, "OUT", str(out))
+        assert pr.main([]) == 0
+        text = out.read_text()
+        assert "FID through training" in text
+        assert "| iwgan@100 | 100 | 0.28 | 98.9 | 6.1× | 4.4× |" in text
+        assert "2026-08-19 15:00:00" in text
+
 
 class TestThesisFigurePresets:
     """paper_visualize --experiment 1|1b|2: the reference's reproducible
@@ -290,3 +335,4 @@ class TestThesisFigurePresets:
                                    "--root", str(tmp_path / "nothing"),
                                    "--out", str(tmp_path / "x.pdf")])
         assert rc == 1
+
