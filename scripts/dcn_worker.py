@@ -39,6 +39,10 @@ def main() -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--batch_per_device", type=int, default=2)
     ap.add_argument("--n_disc_train", type=int, default=2)
+    ap.add_argument("--model_parallel", type=int, default=1,
+                    help="Inner 'model' mesh axis size — with 2 processes "
+                         "the channel collectives then span the process "
+                         "boundary (DCN tensor parallelism).")
     args = ap.parse_args()
 
     # REPLACE any inherited device-count flag (a pytest parent exports =8
@@ -55,7 +59,8 @@ def main() -> int:
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    from hemx.parallel.mesh import initialize_distributed, make_mesh
+    from hemx.parallel.mesh import (data_axis_size,
+                                    initialize_distributed, make_mesh)
 
     initialize_distributed(coordinator=args.coordinator,
                            num_processes=args.num_processes,
@@ -71,7 +76,7 @@ def main() -> int:
     from hemx.models.plugin import get_model
     from hemx.parallel.dp import shard_batch
 
-    mesh = make_mesh(0)
+    mesh = make_mesh(0, model=args.model_parallel)
     assert mesh.devices.size == n_global
 
     margs = make_args(model="iwgan", batch_size=args.batch_per_device,
@@ -79,7 +84,9 @@ def main() -> int:
                       n_disc_train=args.n_disc_train)
     splits = SyntheticDataset.get_datasets(margs)
     model = get_model("iwgan")(margs, mesh)
-    gb = args.batch_per_device * n_global
+    # global batch rides the 'data' axis only (devices on the 'model'
+    # axis share one batch shard — hemx.parallel.mesh.data_axis_size)
+    gb = args.batch_per_device * data_axis_size(mesh)
     # every process iterates the SAME seeded global order; shard_batch
     # host-slices each global batch to this process's rows and assembles
     # the global array from the per-process shards
@@ -89,8 +96,13 @@ def main() -> int:
     stream = iter([shard_batch(b, mesh) for b in host_batches])
     ts, metrics = model.train(ts, stream)
 
+    # params sharded over a 'model' axis span processes and are not
+    # fully addressable here — allgather to host (a no-op resharding for
+    # replicated DP params)
+    from jax.experimental import multihost_utils
     leaves = jax.tree_util.tree_leaves(ts["params"])
-    flat = {f"p{i}": np.asarray(jax.device_get(l))
+    flat = {f"p{i}": np.asarray(
+        multihost_utils.process_allgather(l, tiled=True))
             for i, l in enumerate(leaves)}
     flat["g_loss"] = np.asarray(jax.device_get(metrics["g_loss"]))
     flat["d_loss"] = np.asarray(jax.device_get(metrics["d_loss"]))

@@ -36,10 +36,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def dcn_outputs(tmp_path_factory):
-    """Run the 2-process worker pair once; yield their saved outputs."""
-    out = tmp_path_factory.mktemp("dcn")
+def _run_worker_pair(out, extra=()):
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -48,7 +45,7 @@ def dcn_outputs(tmp_path_factory):
              "--coordinator", f"localhost:{port}",
              "--num_processes", "2", "--process_id", str(pid),
              "--local_devices", "4",
-             "--out", str(out / f"proc{pid}.npz")],
+             "--out", str(out / f"proc{pid}.npz"), *extra],
             cwd=ROOT, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True))
     logs = []
@@ -63,6 +60,12 @@ def dcn_outputs(tmp_path_factory):
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
     return (np.load(out / "proc0.npz"), np.load(out / "proc1.npz"))
+
+
+@pytest.fixture(scope="module")
+def dcn_outputs(tmp_path_factory):
+    """Run the 2-process DP worker pair once; yield their saved outputs."""
+    return _run_worker_pair(tmp_path_factory.mktemp("dcn"))
 
 
 class TestMultiProcessDcn:
@@ -108,6 +111,49 @@ class TestMultiProcessDcn:
         leaves = jax.tree_util.tree_leaves(ts["params"])
         assert len(leaves) == sum(1 for k in multi.files
                                   if k.startswith("p"))
+        for i, leaf in enumerate(leaves):
+            np.testing.assert_allclose(
+                multi[f"p{i}"], np.asarray(jax.device_get(leaf)),
+                rtol=2e-3, atol=2e-5)
+
+
+class TestMultiProcessTensorParallel:
+    """data=4 x model=2 mesh spanning the two processes: kernel output
+    channels shard over 'model', so GSPMD's per-layer channel collectives
+    cross the process boundary (Gloo) — the DCN form of the tp axis
+    TestModelParallel proves in-process. Must equal the single-process
+    8-device run with the same composed mesh on the same batches."""
+
+    def test_matches_single_process_composed_mesh(self, tmp_path_factory):
+        from hemx.data.synthetic import SyntheticDataset
+        from hemx.models.plugin import get_model
+        from hemx.parallel.dp import shard_batch
+        from hemx.parallel.mesh import data_axis_size, make_mesh
+
+        multi, multi_b = _run_worker_pair(
+            tmp_path_factory.mktemp("dcn_tp"), extra=["--model_parallel", "2"])
+        for k in multi.files:  # replicated outputs agree across processes
+            np.testing.assert_array_equal(multi[k], multi_b[k])
+
+        mesh = make_mesh(0, model=2)
+        assert data_axis_size(mesh) == 4
+        margs = make_args(model="iwgan", batch_size=2, optimizer="sgd",
+                          lr=1e-3, n_disc_train=2)
+        splits = SyntheticDataset.get_datasets(margs)
+        model = get_model("iwgan")(margs, mesh)
+        gb = 2 * data_axis_size(mesh)
+        host_batches = list(splits["train"].iter_epoch(
+            gb, shuffle=False))[:3]
+        ts = model.init_state(jax.random.PRNGKey(margs.seed),
+                              host_batches[0])
+        stream = iter([shard_batch(b, mesh) for b in host_batches])
+        ts, metrics = model.train(ts, stream)
+
+        for k in ("g_loss", "d_loss"):
+            np.testing.assert_allclose(
+                float(multi[k]), float(jax.device_get(metrics[k])),
+                rtol=5e-4, atol=1e-5)
+        leaves = jax.tree_util.tree_leaves(ts["params"])
         for i, leaf in enumerate(leaves):
             np.testing.assert_allclose(
                 multi[f"p{i}"], np.asarray(jax.device_get(leaf)),
