@@ -3,7 +3,7 @@
 
 One process, one mesh, one pair of real/val feature sets; scores
 
-* the IWGAN anchor at epochs 10 / 50 / 100 (its campaign run keeps every
+* the IWGAN anchor every 10 epochs (its campaign run keeps every
   checkpoint),
 * the GAN and WGAN anchors at their final epoch,
 * the ``--gp_per_sample`` IWGAN ablation (corrected per-sample GP norm,
@@ -44,8 +44,11 @@ def main() -> int:
     ap.add_argument("--encoder_dir", default=None,
                     help="Trained cnn/vae run for the encoder extractor "
                          "(default <workspace>/cnn).")
-    ap.add_argument("--epochs", type=int, nargs="*", default=[10, 50, 100],
-                    help="IWGAN trajectory checkpoints to score.")
+    ap.add_argument("--epochs", type=int, nargs="*",
+                    default=list(range(10, 101, 10)),
+                    help="IWGAN trajectory checkpoints to score (the "
+                         "campaign anchor retains every epoch; default "
+                         "every 10th).")
     ap.add_argument("--out", default=OUT)
     a = ap.parse_args()
     W = a.workspace

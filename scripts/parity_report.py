@@ -126,6 +126,50 @@ def fid_trajectory_artifact() -> tuple[dict, str] | None:
     return None
 
 
+def _fid_trajectory_reading(rows: list[dict]) -> list[str]:
+    """One data-driven paragraph under the trajectory table: where the
+    IWGAN anchor's encoder FID bottoms, how the other 2017 architectures
+    compare at their final epoch, and what the corrected per-sample GP
+    norm buys — the evidence that the FID level is set by the reference's
+    DCGAN-2017 architecture + schedule, not by the framework."""
+    iwgan = [r for r in rows if r["run"].startswith("iwgan@")
+             and isinstance(r["epoch"], int)]
+    if not iwgan:
+        return []
+    best = min(iwgan, key=lambda r: r["fid_encoder"])
+    final = max(iwgan, key=lambda r: r["epoch"])
+    by_run = {r["run"]: r for r in rows}
+    out = [
+        "",
+        f"Reading: the IWGAN anchor's encoder FID bottoms at "
+        f"**{best['fid_encoder']:.1f} (epoch {best['epoch']})** and then "
+        f"oscillates ({final['fid_encoder']:.1f} at its final epoch "
+        f"{final['epoch']}) — adversarial training does not converge "
+        f"monotonically, so the headline epoch-100 number is a schedule "
+        f"artifact of the reference's fixed 100-epoch recipe, not the "
+        f"run's best.",
+    ]
+    gan, wgan = by_run.get("gan@100"), by_run.get("wgan@100")
+    if gan and wgan:
+        out.append(
+            f"The other two 2017-era anchors sit far above it at their "
+            f"own final epochs (gan {gan['fid_encoder']:.1f}, wgan "
+            f"{wgan['fid_encoder']:.1f}): the gradient-penalty IWGAN is "
+            f"the best of the reference's architectures under this "
+            f"framework, matching the reference's own qualitative "
+            f"ranking (examples.org).")
+    gps = by_run.get("iwgan_gp_per_sample@100")
+    if gps:
+        out.append(
+            f"Correcting the reference's whole-batch GP norm to the "
+            f"paper's per-sample norm (`--gp_per_sample`) improves the "
+            f"epoch-100 encoder FID {final['fid_encoder']:.1f} → "
+            f"**{gps['fid_encoder']:.1f}** with no framework change — "
+            f"together these bound the residual above the data floor as "
+            f"architecture/recipe-limited, not framework-limited.")
+    return out
+
+
 def _hist_moments(h: dict):
     """(mean, std) from a HistogramProto's exact sum / sum_squares."""
     n = h.get("num") or 0
@@ -377,8 +421,8 @@ def main(argv=None) -> int:
         ef = traj.get("fid_encoder_data_floor")
         lines += [
             "",
-            "### FID through training, across models, and under the GP",
-            "### ablation",
+            "### FID through training, across models, and under "
+            "the GP ablation",
             "",
             f"(source `{rel}`, measured {prov.get('measured_utc', '?')} UTC",
             f"by `{prov.get('argv', 'scripts/fid_trajectory.py')}`;",
@@ -393,6 +437,7 @@ def main(argv=None) -> int:
             re_ = (f"{r['fid_encoder']/ef:.1f}×" if ef else "—")
             lines.append(f"| {r['run']} | {r['epoch']} | {r['fid_pixel']} "
                          f"| {r['fid_encoder']} | {rp} | {re_} |")
+        lines += _fid_trajectory_reading(traj.get("rows", []))
 
     stat_rows = [(m, sample_statistics(m)) for m in ("gan", "wgan", "iwgan")]
     if any(r for _, r in stat_rows):
