@@ -26,9 +26,12 @@ Parity notes:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
+from hemx.metrics.eigen import eigen_metrics
 from hemx.models import depth_nets
 from hemx.models.conditional import ConditionalGanBase
 from hemx.ops import initializers
@@ -146,3 +149,32 @@ class PaperCgan(ConditionalGanBase):
         y = jax.device_get(prep["y"]) / 10.0
         y_hat = jax.device_get(g) / 10.0
         return {k: float(v) for k, v in eigen_metrics(y, y_hat).items()}
+
+    # dataset-mean depth image (29x29, [0,1]); set by paper_train for the
+    # y_mean baseline metrics (reference mean_image_placeholder)
+    mean_image = None
+
+    def write_summaries(self, writer, step, ts, batch) -> None:
+        """Base GAN summaries + the reference's per-step Eigen metric
+        scalars vs y_hat / y_0 / y_mean (paper_cgan.py:175-177) — the
+        tags paper_visualize's experiment presets read
+        (metrics_y_hat/linear_rmse)."""
+        super().write_summaries(writer, step, ts, batch)
+        g, prep = self._jit_predict(ts, batch)
+        y = np.asarray(jax.device_get(prep["y"])) / 10.0
+        y_bar = np.asarray(jax.device_get(prep["y_bar"])) / 10.0
+        y_hat = np.asarray(jax.device_get(g)) / 10.0
+        # y_0 = zeros for baseline, the per-image mean for the mean_*
+        # versions (paper_cgan.py:104-121: y_0 = g_0 [+ y_bar])
+        version = getattr(self.args, "model_version", "baseline")
+        y0 = (np.zeros_like(y) if version == "baseline"
+              else np.broadcast_to(y_bar, y.shape))
+        variants = {"y_hat": y_hat, "y_0": y0}
+        if self.mean_image is not None:
+            variants["y_mean"] = np.broadcast_to(
+                self.mean_image[None, :, :, None], y.shape)
+        for name, pred in variants.items():
+            m = eigen_metrics(np.clip(y, 1e-3, None),
+                              np.clip(pred, 1e-3, None))
+            writer.scalars({f"metrics_{name}/{k}": float(v)
+                            for k, v in m.items()}, step)
