@@ -63,9 +63,12 @@ run wgan  --model wgan  --optimizer rmsprop --lr 2.5e-5 --n_disc_train 5
 #     architecture-limited?
 run iwgan_gps --model iwgan --optimizer adam --lr 1e-4 --beta1 0.5 \
           --beta2 0.9 --n_disc_train 5 --gp_per_sample
-if [ -f "$W/iwgan.done" ] && [ ! -d "$W/iwgan300" ]; then
-  cp -r "$W/iwgan" "$W/iwgan300"
+# (b) is staged and disk-bounded: a full-dir copy + --max_to_keep 0 would
+# cost ~80 GB next to the finished campaign. The script seeds only
+# checkpoint-100, trains to the 150/200/300 waypoints under
+# max_to_keep 3, and preserves exactly those checkpoints for
+# fid_trajectory.py.
+if [ -f "$W/iwgan.done" ] && [ ! -f "$W/iwgan300.done" ]; then
+  bash scripts/iwgan300_extension.sh
 fi
-run iwgan300 --model iwgan --optimizer adam --lr 1e-4 --beta1 0.5 \
-          --beta2 0.9 --n_disc_train 5 --max_to_keep 0 --epochs 300
 echo "=== campaign complete: $(date) ==="

@@ -134,10 +134,11 @@ def _fid_trajectory_reading(rows: list[dict]) -> list[str]:
     DCGAN-2017 architecture + schedule, not by the framework."""
     iwgan = [r for r in rows if r["run"].startswith("iwgan@")
              and isinstance(r["epoch"], int)]
-    if not iwgan:
+    anchor = [r for r in iwgan if r["epoch"] <= 100]
+    if not anchor:
         return []
-    best = min(iwgan, key=lambda r: r["fid_encoder"])
-    final = max(iwgan, key=lambda r: r["epoch"])
+    best = min(anchor, key=lambda r: r["fid_encoder"])
+    final = max(anchor, key=lambda r: r["epoch"])
     by_run = {r["run"]: r for r in rows}
     out = [
         "",
@@ -149,6 +150,25 @@ def _fid_trajectory_reading(rows: list[dict]) -> list[str]:
         f"artifact of the reference's fixed 100-epoch recipe, not the "
         f"run's best.",
     ]
+    ext = [r for r in iwgan if r["epoch"] > 100]
+    if ext:
+        ebest = min(ext, key=lambda r: r["fid_encoder"])
+        if ebest["fid_encoder"] < best["fid_encoder"]:
+            verb = (f"keeps improving — to "
+                    f"**{ebest['fid_encoder']:.1f} (epoch "
+                    f"{ebest['epoch']})** — so the epoch-100 level is "
+                    f"training-budget-limited, not a ceiling of the "
+                    f"architecture")
+        else:
+            verb = (f"never beats that epoch-{best['epoch']} floor (best "
+                    f"{ebest['fid_encoder']:.1f} at epoch "
+                    f"{ebest['epoch']}): more of the reference's own "
+                    f"schedule cannot buy a better sample, placing the "
+                    f"ceiling in the 2017 DCGAN architecture itself")
+        out.append(
+            f"Extending the same run to epoch "
+            f"{max(r['epoch'] for r in ext)} (scripts/"
+            f"iwgan300_extension.sh) shows the FID {verb}.")
     gan, wgan = by_run.get("gan@100"), by_run.get("wgan@100")
     if gan and wgan:
         out.append(

@@ -282,6 +282,35 @@ class TestParityReportArtifacts:
         assert "| iwgan@100 | 100 | 0.28 | 98.9 | 6.1× | 4.4× |" in text
         assert "2026-08-19 15:00:00" in text
 
+    def test_fid_trajectory_reading_extension(self):
+        """The reading paragraph pins its claims to the <=100-epoch anchor
+        rows and reports the iwgan300 extension data-responsively: the
+        gp_per_sample comparison must cite the epoch-100 FID even when
+        later epochs exist, and the extension sentence flips between
+        training-budget-limited and architecture-ceiling wording."""
+        pr = self._load()
+        base = [
+            {"run": "iwgan@60", "epoch": 60, "fid_pixel": 0.17,
+             "fid_encoder": 53.5},
+            {"run": "iwgan@100", "epoch": 100, "fid_pixel": 0.28,
+             "fid_encoder": 98.9},
+            {"run": "iwgan_gp_per_sample@100", "epoch": "latest",
+             "fid_pixel": 0.22, "fid_encoder": 69.3},
+        ]
+        improved = base + [{"run": "iwgan@300", "epoch": 300,
+                            "fid_pixel": 0.12, "fid_encoder": 41.0}]
+        text = "\n".join(pr._fid_trajectory_reading(improved))
+        assert "bottoms at **53.5 (epoch 60)**" in text
+        assert "final epoch 100" in text  # anchor-final, not 300
+        assert "epoch-100 encoder FID 98.9" in text  # gps cites @100
+        assert "keeps improving" in text and "41.0" in text
+        assert "training-budget-limited" in text
+        plateaued = base + [{"run": "iwgan@300", "epoch": 300,
+                             "fid_pixel": 0.3, "fid_encoder": 88.0}]
+        text = "\n".join(pr._fid_trajectory_reading(plateaued))
+        assert "never beats that epoch-60 floor" in text
+        assert "architecture itself" in text
+
 
 class TestThesisFigurePresets:
     """paper_visualize --experiment 1|1b|2: the reference's reproducible
