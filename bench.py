@@ -559,6 +559,7 @@ def _write_detail(result: dict, args) -> list[str]:
         os.makedirs(os.path.dirname(os.path.abspath(t)), exist_ok=True)
         with open(t, "w") as f:
             json.dump(result, f, indent=1)
+            f.write("\n")
         written.append(os.path.relpath(os.path.abspath(t), root))
     return written
 

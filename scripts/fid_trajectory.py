@@ -152,6 +152,7 @@ def main() -> int:
     os.makedirs(os.path.dirname(os.path.abspath(a.out)), exist_ok=True)
     with open(a.out, "w") as f:
         json.dump(result, f, indent=1)
+        f.write("\n")
     print(f"wrote {a.out} ({len(rows)} rows)")
     return 0
 
