@@ -77,14 +77,54 @@ def main() -> int:
     reals = vals = None
     rows = []
 
+    # Carry-forward base: the tracked artifact from the last committed
+    # campaign. workspace/ is wiped between sessions, so a session that
+    # retrains only a SUBSET of the campaign (e.g. the iwgan anchor plus
+    # its 300-epoch extension) would otherwise silently drop the
+    # committed gan/wgan/ablation rows on regeneration. Rows whose run is
+    # absent this session are carried verbatim, each stamped with
+    # ``carried_from`` (source file + its measured_utc) so every row's
+    # provenance is self-describing — round 4 showed the campaign recipe
+    # reproduces FID across sessions to four digits, so carried rows are
+    # re-derivable constants, not stale estimates.
+    tracked_path = os.path.join(os.path.dirname(__file__), "..",
+                                "artifacts", "fid_trajectory.json")
+    carried_rows: dict = {}
+    carried_meta: dict = {}
+    try:
+        with open(tracked_path) as f:
+            _t = json.load(f)
+        carried_rows = {r["run"]: r for r in _t.get("rows", [])}
+        carried_meta = {
+            "file": os.path.relpath(tracked_path),
+            "measured_utc": _t.get("provenance", {}).get("measured_utc"),
+            "floors": {k: _t.get(k) for k in ("fid_pixel_data_floor",
+                                              "fid_encoder_data_floor")},
+        }
+    except (OSError, ValueError, KeyError):
+        pass
+
+    def carry(label) -> bool:
+        row = carried_rows.get(label)
+        if row is None:
+            return False
+        row = {k: v for k, v in row.items() if k != "carried_from"}
+        row["carried_from"] = {"file": carried_meta["file"],
+                               "measured_utc": carried_meta["measured_utc"]}
+        rows.append(row)
+        print(f"carry {label} from {carried_meta['file']}", flush=True)
+        return True
+
     def score(run_dir, epoch, label):
         nonlocal reals, vals
         if not os.path.isdir(run_dir):
-            print(f"skip {label}: no run at {run_dir}")
+            if not carry(label):
+                print(f"skip {label}: no run at {run_dir}")
             return
         if epoch is not None and not os.path.exists(
                 os.path.join(run_dir, f"checkpoint-{epoch}.msgpack")):
-            print(f"skip {label}: no checkpoint-{epoch}")
+            if not carry(label):
+                print(f"skip {label}: no checkpoint-{epoch}")
             return
         model, ts, splits, margs = bench._load_run(run_dir, mesh,
                                                    epoch=epoch)
@@ -135,11 +175,16 @@ def main() -> int:
     if not rows:
         print("no runs scored", file=sys.stderr)
         return 1
-    floors = {
-        "fid_pixel_data_floor": round(fid_from_images(reals, vals), 4),
-        "fid_encoder_data_floor": round(fid_from_images(reals, vals, ext),
-                                        4),
-    }
+    if reals is None:
+        # every row was carried — nothing fresh to compute floors from;
+        # keep the carried campaign's floors (same dataset recipe + seed)
+        floors = carried_meta.get("floors", {})
+    else:
+        floors = {
+            "fid_pixel_data_floor": round(fid_from_images(reals, vals), 4),
+            "fid_encoder_data_floor": round(fid_from_images(reals, vals,
+                                                            ext), 4),
+        }
     result = {
         "rows": rows, **floors, "samples": a.samples,
         "encoder_dir": os.path.relpath(a.encoder_dir),

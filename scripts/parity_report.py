@@ -264,6 +264,131 @@ def data_baselines():
     return {"mean_image_l1": mean_l1, "per_image_mean_l1": pim_l1}
 
 
+def sample_quality_lines() -> list[str]:
+    """The '## Sample quality' section (headline FID table + the FID
+    trajectory/cross-model/ablation subsection), generated purely from
+    the measured artifact JSONs (fid.json / fid_trajectory.json, fresh
+    copy first, tracked fallback) — no campaign run dirs needed."""
+    lines: list[str] = []
+    fid_src = fid_artifact()
+    if fid_src:
+        fid, fid_path = fid_src
+        prov = fid.get("provenance")
+        if isinstance(prov, dict):
+            prov = (f"measured {prov.get('measured_utc', '?')} UTC by "
+                    f"`{prov.get('argv', 'bench.py --fid')}`")
+        rel = os.path.relpath(fid_path, os.path.join(W, "..", ".."))
+        lines += [
+            "",
+            "## Sample quality (IWGAN anchor, FID)",
+            "",
+            "The reference published no FID (SURVEY.md §6); the data-vs-data",
+            "floor calibrates the scale (computed by `bench.py --fid` over",
+            f"the trained parity IWGAN; source `{rel}`"
+            + (f", {prov}" if prov else "")
+            + f", scored checkpoints `{fid.get('checkpoint_dir', '?')}`):",
+            "",
+            "| extractor | FID(generated, train) | FID(val, train) floor |",
+            "|---|---|---|",
+            f"| pixel 8×8 | {fid.get('fid_pixel', '—')} | "
+            f"{fid.get('fid_pixel_data_floor', '—')} |",
+        ]
+        if "fid_encoder" in fid:
+            lines.append(
+                f"| trained cnn encoder | {fid['fid_encoder']} | "
+                f"{fid.get('fid_encoder_data_floor', '—')} |")
+        try:
+            rp = fid["fid_pixel"] / fid["fid_pixel_data_floor"]
+            re_ = fid["fid_encoder"] / fid["fid_encoder_data_floor"]
+            lines += [
+                "",
+                f"Generated-vs-floor ratio: {rp:.1f}× (pixel), "
+                f"{re_:.1f}× (encoder) — generated samples sit measurably",
+                "farther from the train split than the val split does, as",
+                "expected for a 100-epoch small GAN; the floor calibrates",
+                "each extractor's scale.",
+            ]
+        except (KeyError, ZeroDivisionError, TypeError):
+            pass
+
+    traj_src = fid_trajectory_artifact()
+    if traj_src:
+        traj, traj_path = traj_src
+        prov = traj.get("provenance", {})
+        rel = os.path.relpath(traj_path, os.path.join(W, "..", ".."))
+        pf = traj.get("fid_pixel_data_floor")
+        ef = traj.get("fid_encoder_data_floor")
+        lines += [
+            "",
+            "### FID through training, across models, and under "
+            "the GP ablation",
+            "",
+            f"(source `{rel}`, measured {prov.get('measured_utc', '?')} UTC",
+            f"by `{prov.get('argv', 'scripts/fid_trajectory.py')}`;",
+            f"data-vs-data floors: pixel {pf}, encoder {ef};",
+            f"{traj.get('samples', '?')} samples/row, shared extractors)",
+            "",
+            "| run | epoch | FID pixel | FID encoder | pixel/floor | encoder/floor |",
+            "|---|---|---|---|---|---|",
+        ]
+        carried = False
+        for r in traj.get("rows", []):
+            rp = (f"{r['fid_pixel']/pf:.1f}×" if pf else "—")
+            re_ = (f"{r['fid_encoder']/ef:.1f}×" if ef else "—")
+            mark = ""
+            if r.get("carried_from"):
+                mark, carried = "†", True
+            lines.append(f"| {r['run']}{mark} | {r['epoch']} | "
+                         f"{r['fid_pixel']} | {r['fid_encoder']} | {rp} "
+                         f"| {re_} |")
+        if carried:
+            srcs = sorted({f"`{r['carried_from']['file']}` (measured "
+                           f"{r['carried_from'].get('measured_utc', '?')} "
+                           f"UTC)"
+                           for r in traj.get("rows", [])
+                           if r.get("carried_from")})
+            lines += [
+                "",
+                "† carried from the previous committed campaign's record — "
+                + ", ".join(srcs)
+                + " — because this session retrained only a subset of the "
+                  "runs; the campaign recipe reproduces FID across "
+                  "sessions to four digits (round-4 determinism check, "
+                  "PERF.md 'Sample quality').",
+            ]
+        lines += _fid_trajectory_reading(traj.get("rows", []))
+    return lines
+
+
+def splice_fid_section() -> int:
+    """--fid-section-only: regenerate ONLY the '## Sample quality' section
+    of the committed PARITY.md in place (everything from that header up to
+    the next '## ' header), leaving the anchor/trajectory/statistics
+    evidence untouched. For sessions that refreshed the FID artifacts
+    (e.g. the iwgan300 extension) without retraining all five anchors —
+    the full regeneration path refuses to run then, by design."""
+    new = sample_quality_lines()
+    if not new:
+        print("no fid/fid_trajectory artifacts to render", file=sys.stderr)
+        return 1
+    with open(OUT) as f:
+        old = f.read().splitlines()
+    try:
+        start = old.index("## Sample quality (IWGAN anchor, FID)")
+    except ValueError:
+        print(f"no '## Sample quality' section in {OUT}", file=sys.stderr)
+        return 1
+    end = next((i for i in range(start + 1, len(old))
+                if old[i].startswith("## ")), len(old))
+    # sample_quality_lines() starts with a "" separator; the text above
+    # the old header already ends with one
+    spliced = old[:start] + new[1:] + [""] + old[end:]
+    with open(OUT, "w") as f:
+        f.write("\n".join(spliced) + "\n")
+    print(f"spliced Sample-quality section into {OUT}")
+    return 0
+
+
 def main(argv=None) -> int:
     import argparse
     ap = argparse.ArgumentParser()
@@ -273,7 +398,15 @@ def main(argv=None) -> int:
                          "default refuses so a partial campaign can't "
                          "clobber committed evidence with 'RUN NOT "
                          "COMPLETE' rows (ADVICE r3).")
+    ap.add_argument("--fid-section-only", action="store_true",
+                    help="Splice a regenerated '## Sample quality' "
+                         "section into the committed PARITY.md from the "
+                         "fid/fid_trajectory artifacts, leaving every "
+                         "other section untouched (no campaign runs "
+                         "needed).")
     opts = ap.parse_args(argv)
+    if opts.fid_section_only:
+        return splice_fid_section()
 
     rows = []
     for model in ("cnn", "vae", "gan", "wgan", "iwgan"):
@@ -391,73 +524,7 @@ def main(argv=None) -> int:
         "baseline on each side.)",
     ]
 
-    fid_src = fid_artifact()
-    if fid_src:
-        fid, fid_path = fid_src
-        prov = fid.get("provenance")
-        if isinstance(prov, dict):
-            prov = (f"measured {prov.get('measured_utc', '?')} UTC by "
-                    f"`{prov.get('argv', 'bench.py --fid')}`")
-        rel = os.path.relpath(fid_path, os.path.join(W, "..", ".."))
-        lines += [
-            "",
-            "## Sample quality (IWGAN anchor, FID)",
-            "",
-            "The reference published no FID (SURVEY.md §6); the data-vs-data",
-            "floor calibrates the scale (computed by `bench.py --fid` over",
-            f"the trained parity IWGAN; source `{rel}`"
-            + (f", {prov}" if prov else "")
-            + f", scored checkpoints `{fid.get('checkpoint_dir', '?')}`):",
-            "",
-            "| extractor | FID(generated, train) | FID(val, train) floor |",
-            "|---|---|---|",
-            f"| pixel 8×8 | {fid.get('fid_pixel', '—')} | "
-            f"{fid.get('fid_pixel_data_floor', '—')} |",
-        ]
-        if "fid_encoder" in fid:
-            lines.append(
-                f"| trained cnn encoder | {fid['fid_encoder']} | "
-                f"{fid.get('fid_encoder_data_floor', '—')} |")
-        try:
-            rp = fid["fid_pixel"] / fid["fid_pixel_data_floor"]
-            re_ = fid["fid_encoder"] / fid["fid_encoder_data_floor"]
-            lines += [
-                "",
-                f"Generated-vs-floor ratio: {rp:.1f}× (pixel), "
-                f"{re_:.1f}× (encoder) — generated samples sit measurably",
-                "farther from the train split than the val split does, as",
-                "expected for a 100-epoch small GAN; the floor calibrates",
-                "each extractor's scale.",
-            ]
-        except (KeyError, ZeroDivisionError, TypeError):
-            pass
-
-    traj_src = fid_trajectory_artifact()
-    if traj_src:
-        traj, traj_path = traj_src
-        prov = traj.get("provenance", {})
-        rel = os.path.relpath(traj_path, os.path.join(W, "..", ".."))
-        pf = traj.get("fid_pixel_data_floor")
-        ef = traj.get("fid_encoder_data_floor")
-        lines += [
-            "",
-            "### FID through training, across models, and under "
-            "the GP ablation",
-            "",
-            f"(source `{rel}`, measured {prov.get('measured_utc', '?')} UTC",
-            f"by `{prov.get('argv', 'scripts/fid_trajectory.py')}`;",
-            f"data-vs-data floors: pixel {pf}, encoder {ef};",
-            f"{traj.get('samples', '?')} samples/row, shared extractors)",
-            "",
-            "| run | epoch | FID pixel | FID encoder | pixel/floor | encoder/floor |",
-            "|---|---|---|---|---|---|",
-        ]
-        for r in traj.get("rows", []):
-            rp = (f"{r['fid_pixel']/pf:.1f}×" if pf else "—")
-            re_ = (f"{r['fid_encoder']/ef:.1f}×" if ef else "—")
-            lines.append(f"| {r['run']} | {r['epoch']} | {r['fid_pixel']} "
-                         f"| {r['fid_encoder']} | {rp} | {re_} |")
-        lines += _fid_trajectory_reading(traj.get("rows", []))
+    lines += sample_quality_lines()
 
     stat_rows = [(m, sample_statistics(m)) for m in ("gan", "wgan", "iwgan")]
     if any(r for _, r in stat_rows):
