@@ -282,6 +282,68 @@ class TestParityReportArtifacts:
         assert "| iwgan@100 | 100 | 0.28 | 98.9 | 6.1× | 4.4× |" in text
         assert "2026-08-19 15:00:00" in text
 
+    def test_fid_section_only_splice(self, tmp_path, monkeypatch):
+        """--fid-section-only must regenerate ONLY the '## Sample quality'
+        section of the committed PARITY.md (from the artifact JSONs, no
+        campaign runs), leave the surrounding sections byte-identical,
+        and footnote rows carried from a previous campaign's record
+        (fid_trajectory.py carry-forward)."""
+        import json
+        pr = self._load()
+        w = tmp_path / "workspace" / "parity"
+        w.mkdir(parents=True)
+        monkeypatch.setattr(pr, "W", str(w))
+        art = tmp_path / "workspace" / "artifacts"
+        art.mkdir()
+        (art / "fid.json").write_text(json.dumps({"detail": {
+            "fid_pixel": 0.28, "fid_pixel_data_floor": 0.046,
+            "fid_encoder": 98.9, "fid_encoder_data_floor": 22.55,
+            "checkpoint_dir": "workspace/parity/iwgan",
+            "provenance": {"measured_utc": "2026-08-20 08:00:00",
+                           "argv": "bench.py --fid"}}}))
+        (art / "fid_trajectory.json").write_text(json.dumps({
+            "rows": [
+                {"run": "iwgan@100", "epoch": 100, "fid_pixel": 0.28,
+                 "fid_encoder": 98.9},
+                {"run": "iwgan@300", "epoch": 300, "fid_pixel": 0.15,
+                 "fid_encoder": 45.0},
+                {"run": "gan@100", "epoch": "latest", "fid_pixel": 0.85,
+                 "fid_encoder": 302.9,
+                 "carried_from": {"file": "artifacts/fid_trajectory.json",
+                                  "measured_utc": "2026-08-19 19:30:55"}},
+            ],
+            "fid_pixel_data_floor": 0.046,
+            "fid_encoder_data_floor": 22.55, "samples": 4096,
+            "provenance": {"measured_utc": "2026-08-20 10:00:00",
+                           "argv": "scripts/fid_trajectory.py"}}))
+        out = tmp_path / "PARITY.md"
+        out.write_text("\n".join([
+            "# PARITY", "", "## Anchor rows", "", "anchor evidence", "",
+            "## Sample quality (IWGAN anchor, FID)", "", "stale table",
+            "", "### FID through training, across models, and under "
+            "the GP ablation", "", "stale trajectory", "",
+            "## Sample statistics through training (GAN family)", "",
+            "stats evidence", ""]))
+        monkeypatch.setattr(pr, "OUT", str(out))
+        assert pr.main(["--fid-section-only"]) == 0
+        text = out.read_text()
+        # surrounding sections untouched
+        assert "anchor evidence" in text and "stats evidence" in text
+        assert text.index("anchor evidence") < text.index("Sample quality")
+        # stale section gone, fresh artifact values in
+        assert "stale table" not in text and "stale trajectory" not in text
+        assert "| iwgan@300 | 300 | 0.15 | 45.0 |" in text
+        # carried row gets the dagger + provenance footnote
+        assert "| gan@100† |" in text
+        assert "carried from the previous committed campaign" in text
+        assert "2026-08-19 19:30:55" in text
+        # extension reading renders from the fresh >100-epoch row
+        assert "keeps improving" in text
+        # idempotent: splicing again leaves the file unchanged
+        again = out.read_text()
+        assert pr.main(["--fid-section-only"]) == 0
+        assert out.read_text() == again
+
     def test_fid_trajectory_reading_extension(self):
         """The reading paragraph pins its claims to the <=100-epoch anchor
         rows and reports the iwgan300 extension data-responsively: the
