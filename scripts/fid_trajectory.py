@@ -195,11 +195,21 @@ def main() -> int:
         },
     }
     os.makedirs(os.path.dirname(os.path.abspath(a.out)), exist_ok=True)
-    with open(a.out, "w") as f:
+    out = a.out
+    if len(rows) < len(carried_rows):
+        # fewer rows than the committed record can only mean scoring broke
+        # mid-run (a carried row exists for every label we fail to score):
+        # park the partial result instead of letting the chain's mirror
+        # replace the tracked artifact with a lossy one
+        out = a.out + ".partial"
+        print(f"PARTIAL: {len(rows)} rows < tracked {len(carried_rows)} — "
+              f"writing {out} and leaving {a.out} untouched",
+              file=sys.stderr)
+    with open(out, "w") as f:
         json.dump(result, f, indent=1)
         f.write("\n")
-    print(f"wrote {a.out} ({len(rows)} rows)")
-    return 0
+    print(f"wrote {out} ({len(rows)} rows)")
+    return 0 if out == a.out else 1
 
 
 if __name__ == "__main__":
